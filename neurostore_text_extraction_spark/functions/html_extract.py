@@ -1,0 +1,449 @@
+"""Main-content extraction from HTML bytes — pure, deterministic, stdlib-only.
+
+This is the extraction front-end the reference delegates to the external
+pubget/ACE tools (see SURVEY.md §2.9; the reference repo itself contains
+no HTML→text code — only fixture pairs such as
+``tests/data/sample_inputs/3qT3nzK9bLZ7/source/ace/26507433.html`` →
+``processed/ace/text.txt``). We re-specify it from scratch:
+
+X1  DOM parse (stdlib ``html.parser``) + hard boilerplate-tag drop
+X2  Boilerpipe-style block classification: link density, word count,
+    stopword density, class/id priors
+X3  Readability-style candidate scoring over DOM subtrees; the best
+    candidate's blocks (plus headings) form the main content
+X5  Character-span emission per emitted block
+X6  ``lang`` passthrough hook (stopword list selection)
+
+Output text format follows the reference's processed fixtures
+(``processed/pubget/text.txt``): section headings rendered as
+``## <Heading>`` lines, blocks separated by blank lines — consumable by
+``text.split("\\n\\n")`` exactly like ``ns_extract/pipelines/api.py:262``.
+
+The function is a pure function of the input bytes: no randomness, no
+global state, no dependence on Arrow batch boundaries or partitioning —
+this is what makes the distributed output byte-identical to the
+single-node run at any parallelism (the byte-identical-per-url contract).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Tags whose entire subtree is never content.
+_DROP_TAGS = frozenset(
+    {
+        "script", "style", "noscript", "template", "iframe", "svg", "canvas",
+        "nav", "form", "button", "select", "option", "textarea", "input",
+        "label", "head", "meta", "link", "base", "title", "object", "embed",
+        "applet", "map", "audio", "video", "source", "track", "datalist",
+    }
+)
+# header/footer/aside are *usually* boilerplate but can legally wrap
+# content on broken pages — dropped structurally, like _DROP_TAGS.
+_CHROME_TAGS = frozenset({"header", "footer", "aside"})
+
+_VOID_TAGS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+        "meta", "param", "source", "track", "wbr",
+    }
+)
+
+# Elements that open a new text block.
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "section", "article", "main", "body", "html",
+        "h1", "h2", "h3", "h4", "h5", "h6",
+        "ul", "ol", "li", "dl", "dt", "dd",
+        "table", "thead", "tbody", "tfoot", "tr", "td", "th", "caption",
+        "blockquote", "pre", "figure", "figcaption", "address", "fieldset",
+        "details", "summary", "hgroup",
+    }
+)
+
+_HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+# --- JATS XML mode (pubget-style inputs, see reference fixtures
+# tests/data/sample_inputs/*/source/pubget/*.xml). The upstream pubget
+# tool strips inline <xref> citation text and renders <sec><title> as
+# "## Heading" lines; we mirror those semantics. ---
+_JATS_DROP = frozenset(
+    {
+        "xref", "ref-list", "journal-meta", "article-id", "contrib-group",
+        "aff", "author-notes", "pub-date", "issn", "isbn", "publisher",
+        "history", "permissions", "funding-group", "custom-meta-group",
+        "license", "copyright-statement", "copyright-year", "object-id",
+        "fn-group", "processing-meta", "kwd-group", "counts", "elocation-id",
+        "volume", "issue", "fpage", "lpage", "alternatives", "graphic",
+        "inline-graphic", "supplementary-material", "ext-link", "uri",
+    }
+)
+_JATS_BLOCK = frozenset(
+    {
+        "article", "front", "body", "back", "article-meta", "abstract",
+        "sec", "p", "title", "article-title", "table-wrap", "table",
+        "thead", "tbody", "tr", "td", "th", "caption", "label", "fig",
+        "list", "list-item", "disp-quote", "boxed-text", "ack", "app",
+        "app-group", "def-list", "def-item", "term", "def",
+    }
+)
+_JATS_HEADING = frozenset({"title", "article-title"})
+
+
+def looks_like_jats(data: bytes) -> bool:
+    head = data[:400].lstrip()
+    return head.startswith(b"<?xml") or head.startswith(b"<article") or (
+        b"<article" in head and b"<!DOCTYPE article" in head
+    )
+
+# class/id substrings with strong boilerplate priors (negative) and
+# content priors (positive) — readability-style.
+_NEGATIVE_HINTS = (
+    "comment", "sidebar", "side-bar", "footer", "header", "banner", "cookie",
+    "consent", "menu", "navbar", "nav-", "-nav", "breadcrumb", "share",
+    "social", "related", "promo", "advert", "sponsor", "widget", "popup",
+    "modal", "subscribe", "newsletter", "masthead", "skip", "toolbar",
+    "pagination", "pager", "copyright", "disclaimer", "metadata", "byline",
+    "login", "signup", "search", "dropdown", "reference", "bibliograph",
+    "citation", "recommended",
+)
+_POSITIVE_HINTS = (
+    "article", "content", "main", "body", "text", "post", "entry", "story",
+    "abstract", "fulltext", "section", "chapter",
+)
+
+# Compact English stopword list for stopword-density features (X2/X6).
+_STOPWORDS_EN = frozenset(
+    """a about above after again all also an and any are as at be because
+    been before being between both but by can could did do does doing down
+    during each few for from further had has have having he her here hers
+    him his how i if in into is it its just me more most my no nor not of
+    off on once only or other our out over own same she should so some such
+    than that the their them then there these they this those through to
+    too under until up very was we were what when where which while who
+    whom why will with would you your""".split()
+)
+
+_STOPWORDS_BY_LANG = {"en": _STOPWORDS_EN}
+
+
+@dataclass
+class _Node:
+    tag: str
+    attrs: dict
+    parent: "_Node | None"
+    children: list = field(default_factory=list)  # _Node | str
+    # readability candidate score, filled during scoring
+    score: float = 0.0
+
+    @property
+    def hint_text(self) -> str:
+        return ((self.attrs.get("class") or "") + " " + (self.attrs.get("id") or "")).lower()
+
+
+class _DomBuilder(HTMLParser):
+    """Tolerant DOM builder: mismatched end tags are skipped, unclosed
+    tags are implicitly closed. Entities are decoded by html.parser
+    (convert_charrefs=True, deterministic)."""
+
+    def __init__(self, drop=_DROP_TAGS, chrome=_CHROME_TAGS) -> None:
+        super().__init__(convert_charrefs=True)
+        self._drop = drop
+        self._chrome = chrome
+        self.root = _Node("#root", {}, None)
+        self.cur = self.root
+        # stack of open dropped-subtree tag names; non-empty == dropping
+        self._drop_stack: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        # <body> can never legitimately nest inside a dropped subtree —
+        # an unclosed <head>/<form>/<select> must not swallow the page.
+        if tag == "body" and self._drop_stack:
+            self._drop_stack.clear()
+        if self._drop_stack:
+            if (tag in self._drop or tag in self._chrome) and tag not in _VOID_TAGS:
+                self._drop_stack.append(tag)
+            return
+        if tag in self._drop or tag in self._chrome:
+            if tag not in _VOID_TAGS:  # void drop tags have no subtree
+                self._drop_stack.append(tag)
+            return
+        node = _Node(tag, dict(attrs), self.cur)
+        self.cur.children.append(node)
+        if tag not in _VOID_TAGS:
+            self.cur = node
+
+    def handle_startendtag(self, tag, attrs):
+        if self._drop_stack:
+            return
+        if tag in self._drop or tag in self._chrome:
+            return
+        self.cur.children.append(_Node(tag, dict(attrs), self.cur))
+
+    def handle_endtag(self, tag):
+        if self._drop_stack:
+            if tag in self._drop_stack:
+                # pop up to and including the innermost matching tag
+                while self._drop_stack and self._drop_stack.pop() != tag:
+                    pass
+            return
+        # pop to nearest matching ancestor; ignore stray end tags
+        node = self.cur
+        while node is not self.root and node.tag != tag:
+            node = node.parent
+        if node is not self.root:
+            self.cur = node.parent or self.root
+
+    def handle_data(self, data):
+        if self._drop_stack or not data:
+            return
+        self.cur.children.append(data)
+
+
+@dataclass
+class _Block:
+    text: str
+    link_chars: int
+    tag: str
+    ancestors: tuple  # tuple of _Node, innermost last
+    heading: bool
+
+    @property
+    def n_chars(self) -> int:
+        return len(self.text)
+
+
+def _collapse_ws(s: str) -> str:
+    return " ".join(s.split())
+
+
+def _collect_blocks(root: _Node, block_tags=_BLOCK_TAGS, heading_tags=_HEADING_TAGS) -> list[_Block]:
+    """Segment the DOM into text blocks. A block is the inline run
+    between block-level boundaries; text inside <a> counts as link
+    chars for the link-density feature."""
+    blocks: list[_Block] = []
+    # pending inline accumulation
+    parts: list[str] = []
+    link_parts: list[str] = []
+    anc_at_open: list[tuple] = []
+
+    def flush(tag: str, ancestors: tuple):
+        raw = _collapse_ws("".join(parts))
+        if raw:
+            link_len = len(_collapse_ws("".join(link_parts)))
+            heading = tag in heading_tags
+            blocks.append(_Block(raw, link_len, tag, ancestors, heading))
+        parts.clear()
+        link_parts.clear()
+
+    def walk(node: _Node, ancestors: tuple, in_link: bool, cur_tag: str):
+        for child in node.children:
+            if isinstance(child, str):
+                parts.append(child)
+                if in_link:
+                    link_parts.append(child)
+            else:
+                if child.tag in block_tags:
+                    flush(cur_tag, ancestors)
+                    walk(child, ancestors + (child,), in_link, child.tag)
+                    flush(child.tag, ancestors + (child,))
+                elif child.tag == "br":
+                    parts.append(" ")
+                else:
+                    walk(
+                        child,
+                        ancestors,
+                        in_link or child.tag == "a",
+                        cur_tag,
+                    )
+
+    walk(root, (root,), False, "#root")
+    flush("#root", (root,))
+    return blocks
+
+
+def _hint_score(node: _Node) -> int:
+    h = node.hint_text
+    if not h.strip():
+        return 0
+    s = 0
+    if any(n in h for n in _NEGATIVE_HINTS):
+        s -= 1
+    if any(p in h for p in _POSITIVE_HINTS):
+        s += 1
+    return s
+
+
+def _stopword_density(words: list[str], stopwords: frozenset) -> float:
+    if not words:
+        return 0.0
+    hits = sum(1 for w in words if w.lower().strip(".,;:!?()[]\"'") in stopwords)
+    return hits / len(words)
+
+
+def _classify_boilerplate(b: _Block, stopwords: frozenset) -> bool:
+    """X2: True = boilerplate (drop). Boilerpipe-style thresholds on
+    link density / word count / class-id priors."""
+    n = b.n_chars
+    if n == 0:
+        return True
+    ld = b.link_chars / n
+    words = b.text.split()
+    nw = len(words)
+    hint = min((_hint_score(a) for a in b.ancestors[-3:]), default=0)
+    if hint < 0 and not b.heading:
+        # negative ancestor hint needs strong evidence to survive
+        if ld > 0.0 or nw < 15:
+            return True
+    if ld > 0.33:
+        return True
+    if b.heading:
+        return False
+    if nw < 3 and ld > 0.0:
+        return True
+    if nw < 2:
+        # single naked token between blocks (menu crumbs, icons)
+        return True
+    if nw < 6 and ld > 0.1:
+        return True
+    return False
+
+
+def _score_candidates(blocks: list[_Block], stopwords: frozenset) -> _Node | None:
+    """X3: readability-style scoring. Each content-ish block adds points
+    to the *parent* (1.0x) and *grandparent* (0.5x) of its containing
+    element — so section wrappers and the article body accumulate — and
+    the best-scoring subtree wins. Scores are stored on the nodes so the
+    caller can run sibling expansion."""
+    seen: list[_Node] = []
+    for b in blocks:
+        if b.heading:
+            continue
+        words = b.text.split()
+        if len(words) < 8:
+            continue
+        ld = b.link_chars / max(b.n_chars, 1)
+        pts = 1.0 + b.text.count(",") + min(b.n_chars / 100.0, 3.0)
+        pts *= max(0.0, 1.0 - 2.0 * ld)
+        pts *= 0.5 + _stopword_density(words, stopwords)
+        chain = b.ancestors
+        parent = chain[-2] if len(chain) >= 2 else None
+        grand = chain[-3] if len(chain) >= 3 else None
+        for node, w in ((parent, 1.0), (grand, 0.5)):
+            if node is None or node.tag == "#root":
+                continue
+            bonus = 1.0 + 0.25 * _hint_score(node)
+            if node.score == 0.0:
+                seen.append(node)
+            node.score += pts * w * bonus
+    if not seen:
+        return None
+    # deterministic argmax: strict > keeps the first (document-order)
+    # node on ties — `seen` is in first-credit order.
+    best = None
+    best_score = 0.0
+    for node in seen:
+        if node.score > best_score + 1e-9:
+            best_score = node.score
+            best = node
+    return best
+
+
+def _keep_set(candidate: _Node) -> set[int]:
+    """Readability sibling expansion: the candidate subtree plus any
+    sibling subtree scoring >= max(8, 20% of candidate)."""
+    keep = {id(candidate)}
+    parent = candidate.parent
+    if parent is not None:
+        threshold = max(8.0, 0.2 * candidate.score)
+        for sib in parent.children:
+            if isinstance(sib, _Node) and sib is not candidate and sib.score >= threshold:
+                keep.add(id(sib))
+    return keep
+
+
+def _is_descendant(node_chain: tuple, keep: set[int]) -> bool:
+    return any(id(a) in keep for a in node_chain)
+
+
+def extract_html(
+    data: bytes, lang: str | None = None, mode: str = "auto"
+) -> tuple[str, list[tuple[int, int, str]]]:
+    """Extract main content text and char spans from HTML/JATS bytes.
+
+    ``mode``: "html" (boilerplate classify + readability candidate),
+    "jats" (structural: drop xref/front-matter, keep body; pubget-style),
+    or "auto" (sniff via :func:`looks_like_jats`).
+
+    Returns ``(text, spans)`` where spans are ``(start, end, kind)``
+    with ``kind in {"heading", "para"}`` and ``text[start:end]`` the
+    block (X5). Pure function of ``data`` — see module docstring.
+    """
+    if mode == "auto":
+        mode = "jats" if looks_like_jats(data) else "html"
+    try:
+        html = data.decode("utf-8")
+    except UnicodeDecodeError:
+        html = data.decode("latin-1")
+    if mode == "jats":
+        parser = _DomBuilder(drop=_JATS_DROP, chrome=frozenset())
+    else:
+        parser = _DomBuilder()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        # html.parser is robust, but guarantee row-level fault isolation
+        pass
+    stopwords = _STOPWORDS_BY_LANG.get((lang or "en")[:2], _STOPWORDS_EN)
+    if mode == "jats":
+        blocks = _collect_blocks(parser.root, _JATS_BLOCK, _JATS_HEADING)
+        kept = [b for b in blocks if b.n_chars > 0]
+    else:
+        blocks = _collect_blocks(parser.root)
+        content = [b for b in blocks if not _classify_boilerplate(b, stopwords)]
+        candidate = _score_candidates(content, stopwords)
+        if candidate is not None:
+            keep = _keep_set(candidate)
+            kept = [b for b in content if _is_descendant(b.ancestors, keep)]
+            # A candidate subtree that somehow kept nothing falls back to
+            # all content blocks.
+            if not any(not b.heading for b in kept):
+                kept = content
+        else:
+            kept = content
+    # Drop leading/trailing headings with no body around them
+    while kept and kept[0].heading and len(kept) > 1 and kept[1].heading:
+        kept.pop(0)
+    out_parts: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    pos = 0
+    for b in kept:
+        rendered = f"## {b.text}" if b.heading else b.text
+        if out_parts:
+            pos += 2  # "\n\n" separator
+        start = pos
+        pos += len(rendered)
+        out_parts.append(rendered)
+        spans.append((start, pos, "heading" if b.heading else "para"))
+    return "\n\n".join(out_parts), spans
+
+
+def extract_document(
+    data: bytes, lang: str | None = None
+) -> tuple[str, list[tuple[int, int, str]], str]:
+    """Dispatch on payload type: PDF (%PDF- magic) → pdfminer-style
+    layout branch (X4); JATS XML → structural mode; else HTML boiler-
+    plate pipeline. Returns ``(text, spans, kind)`` with kind in
+    {"pdf", "jats", "html"}. Pure function of bytes."""
+    from . import pdf_extract
+
+    if data[:5] == b"%PDF-":
+        text, spans = pdf_extract.extract_pdf(data)
+        return text, spans, "pdf"
+    if looks_like_jats(data):
+        text, spans = extract_html(data, lang, mode="jats")
+        return text, spans, "jats"
+    text, spans = extract_html(data, lang, mode="html")
+    return text, spans, "html"

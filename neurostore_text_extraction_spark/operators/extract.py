@@ -1,0 +1,148 @@
+"""The extraction stage: pages → extracted(text, spans) as a single
+Arrow-batched ``mapInPandas`` pass with url-hash salting, per-row fault
+isolation, and lineage instrumentation.
+
+Scale design (the part that matters at 100 TB / 10^12 docs):
+
+- **Salting** (north rule): Common-Crawl domains are Zipf-skewed — a
+  naive partition-by-domain would straggle. We ``repartition(n,
+  xxhash64(url))`` so pages scatter uniformly regardless of domain.
+  This is one full shuffle of the html payload; it is worth it because
+  the extract UDF dominates wall time and stragglers would otherwise
+  set the critical path. Payload sizes are heavy-tailed too, so the
+  shuffle also breaks up accidental fat-file partition locality from
+  the scan.
+- **Arrow batching**: ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  is capped (session.py) so one multi-MB page cannot blow a batch.
+- **Fault isolation** (reference behavior, ``ns_extract/pipelines/
+  base.py:740-750``: failed study logged, run continues): per-row
+  try/except inside the batch loop; failures emit ``error`` rows so a
+  single corrupt page cannot kill a trillion-doc job.
+- **Lineage** (north rule; generalizes info.json,
+  ``ns_extract/pipelines/data_structures.py:48-56``): each output row
+  carries its ``partition_id`` (TaskContext) and amortized ``wall_us``;
+  :func:`lineage_from_extracted` rolls them up to one row per
+  partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.html_extract import extract_document
+from ..schemas import EXTRACTED_SCHEMA, LINEAGE_SCHEMA
+
+
+def salt_by_url(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Explicit skew-defeating repartition on url-hash (north rule).
+
+    ``xxhash64`` is a JVM-side built-in — no Python hop. Uniform in the
+    url, so Zipf-skewed domains spread evenly across partitions.
+    """
+    if num_partitions:
+        return df.repartition(num_partitions, F.xxhash64(F.col("url")))
+    return df.repartition(F.xxhash64(F.col("url")))
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for pdf in batches:
+        t0 = time.perf_counter()
+        n = len(pdf)
+        texts: list[str | None] = []
+        spans_col: list[list | None] = []
+        kinds: list[str | None] = []
+        errors: list[str | None] = []
+        md5s: list[str | None] = []
+        nbytes: list[int] = []
+        for html, lang in zip(pdf["html"], pdf["lang"]):
+            if html is None:
+                texts.append(None)
+                spans_col.append(None)
+                kinds.append("error")
+                errors.append("null html payload")
+                md5s.append(None)
+                nbytes.append(0)
+                continue
+            data = bytes(html)
+            nbytes.append(len(data))
+            md5s.append(hashlib.md5(data).hexdigest())
+            try:
+                text, spans, kind = extract_document(data, lang)
+                texts.append(text)
+                spans_col.append([(int(s), int(e), k) for s, e, k in spans])
+                kinds.append(kind)
+                errors.append(None)
+            except Exception as exc:  # row-level fault isolation
+                texts.append(None)
+                spans_col.append(None)
+                kinds.append("error")
+                errors.append(f"{type(exc).__name__}: {exc}")
+        wall_us_total = int((time.perf_counter() - t0) * 1e6)
+        per_row = wall_us_total // max(n, 1)
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "lang": pdf["lang"],
+                "kind": kinds,
+                "text": texts,
+                "spans": spans_col,
+                "error": errors,
+                "input_md5": md5s,
+                "n_html_bytes": nbytes,
+                "partition_id": [pid] * n,
+                "wall_us": [per_row] * n,
+            }
+        )
+
+
+def extract_pages(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    salt: bool = True,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → EXTRACTED_SCHEMA rows.
+
+    One Arrow-batched Python hop; everything before and after stays
+    JVM-side. Column pruning: only the four needed columns cross into
+    Python (html is the heavy one and is consumed here).
+    """
+    cols = pages.select("url", "warc_ts", "html", "lang")
+    if salt:
+        cols = salt_by_url(cols, num_partitions)
+    return cols.mapInPandas(_extract_batches, EXTRACTED_SCHEMA)
+
+
+def lineage_from_extracted(extracted: DataFrame, run_id: str) -> DataFrame:
+    """Roll per-row instrumentation up to one lineage row per partition
+    (north rule: partition id, input count, bytes, wall time)."""
+    now = datetime.now(timezone.utc).isoformat()
+    return (
+        extracted.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("input_count"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                "error_count"
+            ),
+            F.sum("n_html_bytes").alias("bytes"),
+            (F.sum("wall_us") / 1000.0).alias("wall_ms"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.col("partition_id"),
+            F.col("input_count").cast("long"),
+            F.col("error_count").cast("long"),
+            F.col("bytes").cast("long"),
+            F.col("wall_ms").cast("double"),
+            F.lit(now).alias("date"),
+        )
+    )

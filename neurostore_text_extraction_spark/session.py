@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Local mode here, but every knob is chosen for the 1000-executor /
+100 TB case and merely *verified* on local[N]:
+
+- AQE on (runtime coalesce + skew-join splitting).
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster this should be ~2-3x total cores (or left to AQE's
+  coalescePartitions with a high initial value).
+- Arrow batch size capped so one fat page (multi-MB html) cannot blow
+  up a single Arrow record batch inside a pandas UDF (SURVEY.md §7
+  hard-part (d)).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Keep Arrow batches modest: pages are heavy-tailed (fixture HTML is
+# 180-636 KB; tail to multi-MB), so 256 rows/batch bounds per-batch
+# memory at ~hundreds of MB even in the tail.
+ARROW_BATCH_ROWS = 256
+
+
+def get_spark(
+    app_name: str = "neurostore_text_extraction_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all cores. On a real
+    cluster the master/memory settings come from spark-submit; only the
+    SQL confs below matter there.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cores) * 2, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
