@@ -413,9 +413,6 @@ def extract_html(
                 kept = content
         else:
             kept = content
-    # Drop leading/trailing headings with no body around them
-    while kept and kept[0].heading and len(kept) > 1 and kept[1].heading:
-        kept.pop(0)
     out_parts: list[str] = []
     spans: list[tuple[int, int, str]] = []
     pos = 0

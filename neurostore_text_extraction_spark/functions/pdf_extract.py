@@ -202,7 +202,9 @@ def extract_pdf(data: bytes) -> tuple[str, list[tuple[int, int, str]]]:
     for i in range(1, len(lines)):
         if line_meta[i][0] == line_meta[i - 1][0]:
             gaps.append(abs(line_meta[i - 1][1] - line_meta[i][1]))
-    med_gap = sorted(gaps)[len(gaps) // 2] if gaps else 14.0
+    # lower median: with few gaps, bias toward the line leading so a
+    # single large block gap still splits
+    med_gap = sorted(gaps)[(len(gaps) - 1) // 2] if gaps else 14.0
     blocks: list[str] = []
     cur: list[str] = []
     for i, t in enumerate(texts):

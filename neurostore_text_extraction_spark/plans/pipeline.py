@@ -1,0 +1,140 @@
+"""The end-to-end extraction pipeline (the reference's
+``transform_dataset``, ``ns_extract/pipelines/base.py:121-234``,
+re-expressed as one DataFrame job per SURVEY.md §3.2's mapping):
+
+    pages → left_anti(manifest)            # O2 incremental / exact resume
+          → repartition(xxhash64(url))     # skew salting (north rule)
+          → mapInPandas(extract)           # Arrow-batched front-end
+          → validate                       # pydantic-analogue validity flag
+          → results + lineage + manifest + runs snapshots (atomic)
+
+Whole-run memoization (O1, ``base.py:157-162``): if nothing is left
+after the manifest anti-join the run returns early. Exact resume: a
+killed run commits nothing (snapshot rename is atomic), a partially
+complete multi-snapshot history replays only missing urls.
+
+``post_process="only"`` mode (``base.py:172-215``): replay a transform
+over the persisted results table without re-extraction — see
+:func:`replay_postprocess`.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.extract import extract_pages, lineage_from_extracted
+from ..operators.incremental import config_hash, unprocessed
+from ..schemas import EXTRACTED_SCHEMA
+from ..sources.catalog import Catalog
+
+EXTRACTOR_NAME = "main_content_extraction"
+EXTRACTOR_VERSION = "1.0.0"  # versioned like the reference's _version (base.py:851)
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    config_hash: str
+    n_input: int
+    n_processed: int
+    n_errors: int
+    skipped: bool  # whole-run cache hit
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    store_root: str,
+    kwargs: dict | None = None,
+    num_partitions: int | None = None,
+    resume: bool = True,
+) -> RunResult:
+    cat = Catalog(store_root)
+    cfg = config_hash(EXTRACTOR_VERSION, kwargs)
+    run_id = uuid.uuid4().hex[:12]
+    now = datetime.now(timezone.utc).isoformat()
+
+    manifest = cat.read(spark, "manifest") if resume else None
+    todo = unprocessed(pages, manifest, cfg)
+
+    # O1 whole-run memoization: empty work list → skip (cheap limit-1
+    # probe, not a full count)
+    if todo.limit(1).isEmpty():
+        return RunResult(run_id, cfg, 0, 0, 0, True)
+
+    ext = extract_pages(todo, num_partitions=num_partitions)
+    validated = ext.withColumn(
+        "valid",
+        F.col("error").isNull() & F.col("text").isNotNull() & (F.length("text") > 0),
+    )
+    # One pass: write results, derive lineage/manifest from the written
+    # snapshot (re-read is a cheap columnar scan; avoids caching the
+    # heavy text in memory and avoids recomputing the UDF 3x).
+    snap = cat.append(validated, "results")
+    written = spark.read.parquet(snap)
+
+    cat.append(lineage_from_extracted(written, run_id), "lineage")
+    cat.append(
+        written.select(
+            "url",
+            "input_md5",
+            F.lit(cfg).alias("config_hash"),
+            F.lit(run_id).alias("run_id"),
+            F.lit(now).alias("date"),
+        ),
+        "manifest",
+    )
+    cat.append(
+        spark.createDataFrame(
+            [
+                (
+                    run_id,
+                    EXTRACTOR_NAME,
+                    EXTRACTOR_VERSION,
+                    cfg,
+                    json.dumps(kwargs or {}, sort_keys=True),
+                    EXTRACTED_SCHEMA.json(),
+                    now,
+                )
+            ],
+            "run_id string, extractor string, version string, config_hash string,"
+            " kwargs_json string, schema_json string, date string",
+        ),
+        "runs",
+    )
+    counts = written.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("e"),
+    ).first()
+    return RunResult(run_id, cfg, counts["n"], counts["n"], int(counts["e"] or 0), False)
+
+
+def read_results(spark: SparkSession, store_root: str) -> DataFrame:
+    """Latest result per url across snapshots (W3 newest-prior pick:
+    later snapshot wins — snapshot paths sort by sequence number)."""
+    cat = Catalog(store_root)
+    res = cat.read(spark, "results")
+    if res is None:
+        raise FileNotFoundError(f"no results table under {store_root}")
+    with_file = res.withColumn("_snap", F.input_file_name())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(F.col("_snap").desc())
+    return (
+        with_file.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_snap")
+    )
+
+
+def replay_postprocess(
+    spark: SparkSession, store_root: str, transform
+) -> DataFrame:
+    """post_process='only' (``base.py:172-215``): apply ``transform``
+    to the persisted results without re-running extraction."""
+    return transform(read_results(spark, store_root))

@@ -70,7 +70,7 @@ def _sentence(rng: random.Random, n_words: int) -> str:
 
 
 def _paragraph(rng: random.Random) -> str:
-    return " ".join(_sentence(rng, rng.randint(8, 24)) for _ in range(rng.randint(2, 6)))
+    return " ".join(_sentence(rng, rng.randint(8, 24)) for _ in range(rng.randint(3, 9)))
 
 
 def _nav_links(rng: random.Random, n: int) -> str:
@@ -81,13 +81,19 @@ def _nav_links(rng: random.Random, n: int) -> str:
 
 
 def _make_html_page(rng: random.Random) -> tuple[bytes, str]:
-    """Build a boilerplate-wrapped page; return (bytes, golden_text)."""
-    n_sections = max(1, int(rng.lognormvariate(0.8, 0.6)))
+    """Build a boilerplate-wrapped page; return (bytes, golden_text).
+
+    Sizes are log-normal with a heavy tail (FIXTURES.md §1: median tens
+    of KB, tail to ~2 MB — reference fixture HTML spans 180-636 KB), so
+    partitions see realistic fat-row skew."""
+    n_sections = 1 + int(rng.lognormvariate(1.5, 0.9))
+    if rng.random() < 0.01:  # rare mega-page: the straggler tail
+        n_sections *= 8
     sections: list[str] = []
     golden_parts: list[str] = []
     for _ in range(n_sections):
         heading = " ".join(w.capitalize() for w in rng.sample(_WORDS, rng.randint(2, 4)))
-        paras = [_paragraph(rng) for _ in range(rng.randint(1, 4))]
+        paras = [_paragraph(rng) for _ in range(rng.randint(2, 7))]
         sections.append(
             f"<h2>{heading}</h2>" + "".join(f"<p>{p}</p>" for p in paras)
         )
@@ -121,12 +127,12 @@ def _pdf_escape(s: str) -> str:
 def _make_pdf_page(rng: random.Random) -> tuple[bytes, str]:
     """Minimal single-page PDF with positioned text lines; ~half get a
     FlateDecode-compressed content stream. Returns (bytes, golden)."""
-    n_blocks = rng.randint(1, 4)
+    n_blocks = rng.randint(2, 10)
     ops = ["BT /F1 12 Tf"]
     golden_blocks: list[str] = []
     y = 740.0
     for _ in range(n_blocks):
-        lines = [_sentence(rng, rng.randint(5, 10)) for _ in range(rng.randint(2, 5))]
+        lines = [_sentence(rng, rng.randint(5, 10)) for _ in range(rng.randint(3, 8))]
         for ln in lines:
             ops.append(f"1 0 0 1 72 {y:.1f} Tm ({_pdf_escape(ln)}) Tj")
             y -= 14.0

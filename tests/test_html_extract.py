@@ -1,0 +1,113 @@
+"""Extraction front-end unit tests (X1–X6): boilerplate stripping,
+candidate selection, JATS mode, determinism, committed goldens for the
+reference fixture corpus (the byte-identical contract's single-node
+side; the distributed side is tests/test_pipeline.py)."""
+
+import glob
+import os
+
+import pytest
+
+from neurostore_text_extraction_spark.functions.html_extract import (
+    extract_document,
+    extract_html,
+    looks_like_jats,
+)
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+BOILERPLATE_PAGE = b"""<html><head><title>T</title><script>var x=1;</script></head>
+<body>
+<nav><a href="/">Home</a> <a href="/b">Blog</a> <a href="/c">Contact</a></nav>
+<header><h1>Site Name</h1><a href="/login">Login</a></header>
+<div class="cookie-banner">We use cookies to improve your experience. <a href="#">Accept</a></div>
+<div id="main" class="article-content">
+<h2>Introduction</h2>
+<p>This is the first paragraph of the main content, and it has plenty of words so that the classifier will keep it, including commas, for scoring.</p>
+<p>The second paragraph also contains a reasonable number of words about the topic, because real content is wordy and has stopwords like the and of.</p>
+</div>
+<aside>Related: <a href="#">Other post</a></aside>
+<footer>Copyright 2024 <a href="#">Terms</a> <a href="#">Privacy</a></footer>
+</body></html>"""
+
+
+def test_boilerplate_stripped_content_kept():
+    text, spans = extract_html(BOILERPLATE_PAGE)
+    assert text.startswith("## Introduction")
+    assert "first paragraph of the main content" in text
+    assert "cookies" not in text
+    assert "Copyright" not in text
+    assert "Home" not in text
+    assert "Related" not in text
+    # spans index the emitted text exactly
+    for s, e, kind in spans:
+        assert text[s:e]
+        assert kind in ("heading", "para")
+    assert spans[0][2] == "heading"
+
+
+def test_unclosed_head_does_not_swallow_body():
+    page = b"<html><head><title>t</title><body><p>Real content paragraph with enough words to be kept here today, honestly.</p></body></html>"
+    text, _ = extract_html(page)
+    assert "Real content paragraph" in text
+
+
+def test_empty_and_garbage_inputs():
+    assert extract_html(b"") == ("", [])
+    text, spans = extract_html(b"\x00\xff\xfe\x80 not really html")
+    assert isinstance(text, str)
+
+
+def test_entity_decoding():
+    page = (
+        b"<html><body><p>Fish &amp; chips cost &pound;5 and that is a fine deal "
+        b"for the hungry people of the town.</p></body></html>"
+    )
+    text, _ = extract_html(page)
+    assert "Fish & chips" in text
+    assert "\xa35" in text
+
+
+def test_jats_detection_and_mode():
+    jats = (
+        b'<?xml version="1.0"?><article><front><journal-meta><journal-title>J'
+        b"</journal-title></journal-meta><article-meta><title-group>"
+        b"<article-title>The Study Title</article-title></title-group>"
+        b"</article-meta></front><body><sec><title>Methods</title>"
+        b"<p>We scanned participants with care (see <xref>Smith 2020</xref>) and "
+        b"recorded many signals for the analysis in this work.</p></sec></body>"
+        b"<back><ref-list><ref>Dropped Reference</ref></ref-list></back></article>"
+    )
+    assert looks_like_jats(jats)
+    text, spans, kind = extract_document(jats)
+    assert kind == "jats"
+    assert "## Methods" in text
+    assert "Smith 2020" not in text  # xref stripped like pubget
+    assert "Dropped Reference" not in text  # ref-list stripped
+    assert "## The Study Title" in text
+
+
+def test_determinism_pure_function():
+    for _ in range(3):
+        a = extract_html(BOILERPLATE_PAGE)
+        assert a == extract_html(BOILERPLATE_PAGE)
+
+
+@pytest.mark.parametrize(
+    "golden_path",
+    sorted(glob.glob(os.path.join(GOLDEN_DIR, "*.txt"))),
+    ids=lambda p: os.path.basename(p),
+)
+def test_reference_fixture_goldens(golden_path):
+    """Byte-identical contract vs committed goldens (our single-node
+    snapshot over the reference's own fixture corpus,
+    tests/data/sample_inputs/*/source/*)."""
+    name = os.path.basename(golden_path)[: -len(".txt")]
+    study, src, kind = name.rsplit("_", 2)
+    pattern = f"/root/reference/tests/data/sample_inputs/{study}/source/{src}/*.*"
+    files = [f for f in glob.glob(pattern) if f.endswith((".html", ".xml"))]
+    assert files, f"fixture missing for {name}"
+    text, spans, got_kind = extract_document(open(files[0], "rb").read())
+    assert got_kind == kind
+    golden = open(golden_path).read()
+    assert text == golden  # byte-identical

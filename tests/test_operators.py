@@ -1,0 +1,100 @@
+"""Operator unit tests on inline data (reference layer-2 style,
+``tests/test_word_count.py:25-45``): exact expected values."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from neurostore_text_extraction_spark.operators import dedup, tfidf, wordstats
+from neurostore_text_extraction_spark.operators.resolve import (
+    pick_latest,
+    semver_key,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_word_count_exact(spark):
+    df = _docs(spark, ["This is a test document with exactly ten words, wow.", "", "  ", None, "one"])
+    got = {r.doc_id: r.word_count for r in wordstats.word_count(df).collect()}
+    assert got == {0: 10, 1: 0, 2: 0, 3: 0, 4: 1}
+
+
+def test_word_deviance_floor_mean(spark):
+    # counts {10, 20} → mean 15 → deviance {5, 5}; with a third doc of
+    # 1 word the floor mean is (31 // 3) = 10
+    df = _docs(spark, ["w " * 10, "w " * 20])
+    got = {r.doc_id: r.word_deviance for r in wordstats.word_deviance(df).collect()}
+    assert got == {0: 5, 1: 5}
+    df3 = _docs(spark, ["w " * 10, "w " * 20, "w"])
+    got3 = {r.doc_id: r.word_deviance for r in wordstats.word_deviance(df3).collect()}
+    assert got3 == {0: 0, 1: 10, 2: 9}
+
+
+def test_tfidf_sklearn_parity(spark):
+    """Hand-computed sklearn semantics: smooth idf ln((1+n)/(1+df))+1,
+    raw tf, l2 norm, token pattern \\w\\w+ (drops 1-char tokens)."""
+    df = _docs(spark, ["aa aa bb x", "bb cc"])
+    rows = tfidf.tfidf(df, min_df=1).collect()
+    got = {(r.doc_id, r.term): r.tfidf for r in rows}
+    idf_aa = math.log(3 / 2) + 1
+    idf_bb = math.log(3 / 3) + 1
+    idf_cc = math.log(3 / 2) + 1
+    w0 = {"aa": 2 * idf_aa, "bb": 1 * idf_bb}
+    n0 = math.sqrt(sum(v * v for v in w0.values()))
+    w1 = {"bb": idf_bb, "cc": idf_cc}
+    n1 = math.sqrt(sum(v * v for v in w1.values()))
+    assert ("0x" not in got)  # 1-char token 'x' must not appear
+    for (d, t), v in got.items():
+        expected = (w0 if d == 0 else w1)[t] / (n0 if d == 0 else n1)
+        assert abs(v - expected) < 1e-12, (d, t, v, expected)
+    assert len(got) == 4
+
+
+def test_tfidf_vocabulary_restriction(spark):
+    df = _docs(spark, ["aa bb cc", "aa dd"])
+    rows = tfidf.tfidf(df, min_df=1, vocabulary=["aa", "dd"]).collect()
+    assert {r.term for r in rows} == {"aa", "dd"}
+
+
+def test_exact_duplicates(spark):
+    df = _docs(spark, ["same text here", "same text here", "different"])
+    rows = {r.text_md5: (r.n_docs, r.representative) for r in dedup.exact_duplicates(df).collect()}
+    assert sorted(v[0] for v in rows.values()) == [1, 2]
+    assert any(v == (2, 0) for v in rows.values())
+
+
+def test_minhash_identical_docs_estimate_one(spark):
+    df = _docs(spark, ["alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon zeta", "unrelated words entirely other thing box"])
+    pairs = dedup.minhash_lsh_pairs(df).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.doc_a, p.doc_b, p.est_jaccard) == (0, 1, 1.0)
+
+
+def test_simhash_identical_equal_similar_close(spark):
+    df = _docs(spark, ["the quick brown fox jumps over the lazy dog", "the quick brown fox jumps over the lazy dog", "completely unrelated terms about spacecraft telemetry systems"])
+    got = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc0: shingles {a b c, b c d}; doc1: {a b c}; jaccard = 1/2
+    df = _docs(spark, ["aa bb cc dd", "aa bb cc"])
+    rows = dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert abs(rows[0].jaccard - 0.5) < 1e-12
+
+
+def test_pick_latest_semver(spark):
+    df = spark.createDataFrame(
+        [("e", "1.2.0"), ("e", "1.10.0"), ("e", "0.9.9")],
+        "extractor string, version string",
+    )
+    got = pick_latest(df, ["extractor"], [semver_key(F.col("version"))]).collect()
+    assert got[0].version == "1.10.0"  # numeric, not lexicographic
