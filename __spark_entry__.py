@@ -385,6 +385,158 @@ def _q_extract_roundtrip(spark, sf):
     )
 
 
+# --- round-1 extension queries (U4/U7/U8/F13/F14/A5/S3/multimodal) ---
+
+_LEXICON = [
+    (1, "brain imaging study", True),
+    (2, "data analysis method", True),
+    (3, "memory task response", False),
+    (4, "signal processing model", True),
+    (5, "language learning network", False),
+    (6, "attention control group", True),
+    (7, "emotion regulation effect", False),
+    (8, "cortex activation measure", True),
+]
+
+
+def _q_entity_link(spark, sf):
+    """U7 char-ngram cosine candidate generation + threshold/top-k."""
+    from neurostore_text_extraction_spark.operators.entity_link import link_entities
+
+    docs = _t(spark, sf, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") >= 24)
+    )
+    mentions = docs.select(
+        F.col("doc_id").alias("mention_id"),
+        F.substring("text", 1, 24).alias("mention"),
+    )
+    lexicon = spark.createDataFrame(
+        _LEXICON, "concept_id int, concept_name string, has_definition boolean"
+    )
+    out = link_entities(mentions, lexicon, k=3, threshold=0.35, no_definition_threshold=0.45)
+    return out.select(
+        "mention_id", "concept_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def _groups_col():
+    g1 = F.struct(
+        F.lit("control").alias("group_name"),
+        F.lit(None).cast("string").alias("diagnosis"),
+        F.when(F.col("doc_id") % 5 != 0, (F.col("doc_id") % 7 - 1).cast("int")).alias("count"),
+        F.lit(None).cast("int").alias("male_count"),
+        (F.col("doc_id") % 3).cast("int").alias("female_count"),
+    )
+    g2 = F.struct(
+        F.lit("patient").alias("group_name"),
+        F.lit("mdd").cast("string").alias("diagnosis"),
+        (F.col("doc_id") % 10).cast("int").alias("count"),
+        (F.col("doc_id") % 4).cast("int").alias("male_count"),
+        F.lit(None).cast("int").alias("female_count"),
+    )
+    return F.when(F.col("doc_id") % 4 == 0, F.array(g1)).otherwise(F.array(g1, g2))
+
+
+def _q_demographics(spark, sf):
+    """F13 nested demographic cleanup over synthesized groups."""
+    from neurostore_text_extraction_spark.operators.demographics import clean_groups
+
+    docs = _t(spark, sf, "documents").select("doc_id", _groups_col().alias("groups"))
+    return clean_groups(docs, id_col="doc_id")
+
+
+def _q_patient_study(spark, sf):
+    """U8: any group named 'patient' → bool, via F.exists."""
+    from neurostore_text_extraction_spark.operators.demographics import (
+        has_patient_group,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", _groups_col().alias("groups"))
+    return docs.select("doc_id", has_patient_group(F.col("groups")).alias("has_patient"))
+
+
+def _q_metrics_normalize(spark, sf):
+    """F14 evaluation metric normalizers."""
+    from neurostore_text_extraction_spark.functions import metrics as M
+
+    docs = _t(spark, sf, "documents")
+    num_str = F.concat(F.lit("~"), F.col("doc_id").cast("string"), F.lit("kg"))
+    bool_str = (
+        F.when(F.col("doc_id") % 3 == 0, "Yes")
+        .when(F.col("doc_id") % 3 == 1, "no")
+        .otherwise("maybe")
+    )
+    age_str = F.concat(
+        (F.col("doc_id") % 40 + 18).cast("string"),
+        F.lit(" to "),
+        (F.col("doc_id") % 40 + 25).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        M.norm_text(F.substring("text", 1, 40)).alias("norm_text"),
+        M.coerce_numeric(num_str).alias("num_val"),
+        M.coerce_boolean(bool_str).alias("bool_val"),
+        M.age_range_lo(age_str).alias("age_lo"),
+        M.age_range_hi(age_str).alias("age_hi"),
+    )
+
+
+def _q_corpus_hash(spark, sf):
+    """A5 DependentPipeline group-identity hash."""
+    from neurostore_text_extraction_spark.operators.incremental import corpus_hash_df
+
+    return corpus_hash_df(_t(spark, sf, "documents"), id_col="doc_id")
+
+
+def _q_table_pairing(spark, sf):
+    """S3 pubget table-file pairing by filename stem (groupBy+pivot)."""
+    from neurostore_text_extraction_spark.sources.tables import pair_table_files
+
+    docs = _t(spark, sf, "documents")
+    stem = F.concat(F.lit("table_00"), (F.col("doc_id") % 3).cast("string"))
+    csv_rows = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.concat(stem, F.lit(".csv")).alias("filename"),
+        F.concat(F.lit("csvdata:"), F.col("doc_id").cast("string")).alias("payload"),
+    )
+    info_rows = docs.where(F.col("doc_id") % 4 != 0).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.concat(stem, F.lit("_info.json")).alias("filename"),
+        F.concat(F.lit("info:"), F.col("doc_id").cast("string")).alias("payload"),
+    )
+    return pair_table_files(csv_rows.unionAll(info_rows))
+
+
+def _q_hash_embedding(spark, sf):
+    """U4 chunk→hash-embed→mean-pool pipeline, exploded to (doc, dim,
+    v); punctuation-free docs yield exactly one chunk, so the oracle
+    recomputes the hashing-trick vector in SQL."""
+    from neurostore_text_extraction_spark.operators.embeddings import embed_documents
+
+    docs = _t(spark, sf, "documents").where(
+        F.col("text").isNotNull()
+        & (F.size(F.split(F.lower(F.trim("text")), r"\s+")) >= 5)
+        & (F.length(F.trim("text")) > 0)
+    )
+    emb = embed_documents(docs)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "v")
+    ).select("doc_id", "dim", F.round("v", 6).alias("v"))
+
+
+def _q_blob_metadata(spark, sf):
+    """Multimodal binary-column metadata pass (sniff/size/sha256)."""
+    from neurostore_text_extraction_spark.operators.multimodal import blob_metadata
+
+    docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    blobs = docs.select(
+        F.col("doc_id").cast("string").alias("blob_id"),
+        F.encode("text", "utf-8").alias("blob"),
+    )
+    return blob_metadata(blobs).select("blob_id", "media_type", "n_bytes", "sha256")
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "word_count": _q_word_count,
@@ -411,6 +563,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_string": _q_normalize,
         "abbreviations": _q_abbreviations,
         "extract_roundtrip": _q_extract_roundtrip,
+        "entity_link": _q_entity_link,
+        "demographics_clean": _q_demographics,
+        "patient_study": _q_patient_study,
+        "metrics_normalize": _q_metrics_normalize,
+        "corpus_hash": _q_corpus_hash,
+        "table_pairing": _q_table_pairing,
+        "hash_embedding": _q_hash_embedding,
+        "blob_metadata": _q_blob_metadata,
     }
 
 
@@ -459,6 +619,25 @@ def _plane_weights_sql() -> str:
         for p in range(_LSH_PLANES)
     )
     return f"(VALUES {rows}) AS planes(p, w)"
+
+
+
+_GROUPS_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN [g1] ELSE [g1, g2] END AS groups "
+    "FROM (SELECT doc_id, "
+    "{'group_name': 'control', 'diagnosis': CAST(NULL AS VARCHAR), "
+    " 'count': CASE WHEN doc_id % 5 != 0 THEN (doc_id % 7 - 1)::INT END, "
+    " 'male_count': CAST(NULL AS INT), 'female_count': (doc_id % 3)::INT} AS g1, "
+    "{'group_name': 'patient', 'diagnosis': 'mdd', 'count': (doc_id % 10)::INT, "
+    " 'male_count': (doc_id % 4)::INT, 'female_count': CAST(NULL AS INT)} AS g2 "
+    "FROM documents) s"
+)
+
+
+def _lexicon_values_sql() -> str:
+    return ", ".join(
+        f"({cid}, '{name}', {str(has).lower()})" for cid, name, has in _LEXICON
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -742,5 +921,142 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(trim(text), '\s+', ' ', 'g') AS extracted_text
             FROM documents
             WHERE len(regexp_extract_all(lower(text), '\w\w+')) >= 8
+        """,
+        "entity_link": f"""
+            WITH lex(concept_id, concept_name, has_definition) AS (VALUES {_lexicon_values_sql()}),
+            m AS (
+              SELECT doc_id AS mention_id, lower(substring(text, 1, 24)) AS s
+              FROM documents WHERE text IS NOT NULL AND length(text) >= 24
+            ),
+            mg AS (
+              SELECT mention_id, ng, COUNT(*)::DOUBLE AS cnt FROM (
+                SELECT mention_id, unnest(list_transform(
+                  generate_series(1, length(s) - 2), i -> substring(s, i, 3))) AS ng
+                FROM m WHERE length(s) >= 3
+              ) GROUP BY 1, 2
+            ),
+            cgr AS (
+              SELECT concept_id, ng, COUNT(*)::DOUBLE AS cnt FROM (
+                SELECT concept_id, unnest(list_transform(
+                  generate_series(1, length(lower(concept_name)) - 2),
+                  i -> substring(lower(concept_name), i, 3))) AS ng
+                FROM lex
+              ) GROUP BY 1, 2
+            ),
+            mn AS (SELECT mention_id, sqrt(SUM(cnt*cnt)) AS m_norm FROM mg GROUP BY 1),
+            cn AS (SELECT concept_id, sqrt(SUM(cnt*cnt)) AS c_norm FROM cgr GROUP BY 1),
+            dots AS (
+              SELECT mg.mention_id, cgr.concept_id, SUM(mg.cnt * cgr.cnt) AS dot
+              FROM mg JOIN cgr USING (ng) GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT d.mention_id, d.concept_id, d.dot / (mn.m_norm * cn.c_norm) AS score
+              FROM dots d JOIN mn USING (mention_id) JOIN cn USING (concept_id)
+            ),
+            thresholded AS (
+              SELECT s.* FROM scored s JOIN lex USING (concept_id)
+              WHERE (lex.has_definition AND s.score >= 0.35)
+                 OR (NOT lex.has_definition AND s.score >= 0.45)
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY mention_id
+                        ORDER BY score DESC, concept_id ASC) AS rank
+              FROM thresholded
+            )
+            SELECT mention_id, concept_id, round(score, 6) AS score, rank::INT AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "demographics_clean": f"""
+            WITH g AS (
+              SELECT doc_id, unnest(groups, recursive := true) FROM ({_GROUPS_SQL}) t
+            )
+            SELECT doc_id, group_name,
+              CASE WHEN diagnosis IS NULL AND lower(group_name) = 'control'
+                   THEN 'healthy' ELSE diagnosis END AS diagnosis,
+              greatest(0, count)::INT AS count,
+              coalesce(
+                CASE WHEN male_count IS NOT NULL THEN greatest(0, male_count) END,
+                greatest(0, count) - CASE WHEN female_count IS NOT NULL
+                                          THEN greatest(0, female_count) END
+              )::INT AS male_count,
+              coalesce(
+                CASE WHEN female_count IS NOT NULL THEN greatest(0, female_count) END,
+                greatest(0, count) - CASE WHEN male_count IS NOT NULL
+                                          THEN greatest(0, male_count) END
+              )::INT AS female_count
+            FROM g WHERE count IS NOT NULL
+        """,
+        "patient_study": f"""
+            SELECT doc_id,
+                   len(list_filter(groups, g -> lower(g.group_name) = 'patient')) > 0
+                   AS has_patient
+            FROM ({_GROUPS_SQL}) t
+        """,
+        "metrics_normalize": r"""
+            SELECT doc_id,
+              regexp_replace(lower(trim(substring(text, 1, 40))), '\s+', ' ', 'g') AS norm_text,
+              CAST(doc_id AS DOUBLE) AS num_val,
+              CASE WHEN doc_id % 3 = 0 THEN true
+                   WHEN doc_id % 3 = 1 THEN false END AS bool_val,
+              (doc_id % 40 + 18)::INT AS age_lo,
+              (doc_id % 40 + 25)::INT AS age_hi
+            FROM documents
+        """,
+        "corpus_hash": """
+            SELECT sha256(string_agg(CAST(doc_id AS VARCHAR), '_'
+                   ORDER BY CAST(doc_id AS VARCHAR))) AS corpus_sha256
+            FROM documents
+        """,
+        "table_pairing": """
+            WITH files AS (
+              SELECT CAST(doc_id AS VARCHAR) AS url,
+                     'table_00' || CAST(doc_id % 3 AS VARCHAR) AS stem,
+                     'data' AS kind,
+                     'csvdata:' || CAST(doc_id AS VARCHAR) AS payload
+              FROM documents
+              UNION ALL
+              SELECT CAST(doc_id AS VARCHAR), 'table_00' || CAST(doc_id % 3 AS VARCHAR),
+                     'info', 'info:' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id % 4 != 0
+            )
+            SELECT url, stem,
+                   MAX(CASE WHEN kind = 'data' THEN payload END) AS data,
+                   MAX(CASE WHEN kind = 'info' THEN payload END) AS info
+            FROM files GROUP BY url, stem
+        """,
+        "hash_embedding": r"""
+            WITH docs AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
+                AND len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 5
+            ),
+            hs AS (SELECT doc_id, md5(unnest(toks)) AS h FROM docs),
+            contrib AS (
+              SELECT doc_id,
+                ((strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1)) % 64 AS bucket,
+                CASE WHEN ((strpos('0123456789abcdef', substring(h, 10, 1)) - 1) & 1) = 1
+                     THEN 1.0 ELSE -1.0 END AS sign
+              FROM hs
+            ),
+            sums AS (SELECT doc_id, bucket, SUM(sign) AS s FROM contrib GROUP BY 1, 2),
+            norms AS (SELECT doc_id, sqrt(SUM(s * s)) AS n FROM sums GROUP BY 1),
+            dims AS (
+              SELECT d.doc_id, b.dim FROM (SELECT DISTINCT doc_id FROM sums) d,
+                   (SELECT unnest(generate_series(0, 63)) AS dim) b
+            )
+            SELECT dims.doc_id, dims.dim,
+                   round(coalesce(s.s, 0.0) / n.n, 6) AS v
+            FROM dims
+            LEFT JOIN sums s ON s.doc_id = dims.doc_id AND s.bucket = dims.dim
+            JOIN norms n ON n.doc_id = dims.doc_id
+        """,
+        "blob_metadata": """
+            SELECT CAST(doc_id AS VARCHAR) AS blob_id,
+                   'application/octet-stream' AS media_type,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents WHERE text IS NOT NULL
         """,
     }

@@ -25,7 +25,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # extraction corpus size scales with the sf dir (sf0.1 → 4000 pages)
 _SF_GUESS = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
-N_PAGES = int(os.environ.get("SPARK_GRAFT_N_PAGES", str(max(400, int(40000 * _SF_GUESS)))))
+# Sized so the extraction stage runs tens of seconds at 32 cores —
+# fixed costs (JVM scheduling, python-worker fork) must not dominate,
+# or the N-vs-4N scaling measurement measures startup, not throughput.
+N_PAGES = int(os.environ.get("SPARK_GRAFT_N_PAGES", str(max(400, int(160000 * _SF_GUESS)))))
 
 
 def main() -> None:
@@ -42,20 +45,39 @@ def main() -> None:
     spark = get_spark(app_name="nse-bench", cores=CPUS)
     timings: dict[str, float] = {}
 
-    # --- flagship: extraction pipeline over the synthetic corpus ---
-    gen = pages_view(generate_pages(spark, N_PAGES, CPUS * 2)).persist()
-    n_docs = gen.count()  # materialize: generation excluded from timing
-    total_bytes = gen.agg(F.sum(F.length("html"))).first()[0]
+    # --- flagship: extraction pipeline, production shape: parquet scan
+    # → (salted) Arrow UDF → count. The corpus parquet is generated once
+    # and cached on tmpfs (generation excluded from timing).
+    pages_dir = os.environ.get(
+        "SPARK_GRAFT_PAGES_DIR", f"/dev/shm/nse_bench_pages_{N_PAGES}"
+    )
+    if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+        pages_view(generate_pages(spark, N_PAGES, 128)).write.mode(
+            "overwrite"
+        ).parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+    n_docs = pages.count()
+    total_bytes = pages.agg(F.sum(F.length("html"))).first()[0]
 
-    # warmup (python worker fork + Arrow init)
-    extract_pages(gen.limit(64), num_partitions=CPUS).count()
+    # warmup: full pass (page cache + python workers + JIT)
+    extract_pages(pages, salt=False).agg(F.count("*")).first()
 
-    t0 = time.perf_counter()
-    ext = extract_pages(gen, num_partitions=CPUS * 2)
-    n_ok = ext.where(F.col("error").isNull() & (F.length("text") > 0)).count()
-    t_extract = time.perf_counter() - t0
+    # this host shows heavy uncorrelated contention (load >> in-VM CPU
+    # use); min-of-N approximates the uncontended machine, median shown
+    # alongside (BENCH/BASELINE.md documents the protocol)
+    reps = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPS", "3"))
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        ext = extract_pages(pages, num_partitions=CPUS * 2, salt=True)
+        n_ok = ext.where(
+            F.col("error").isNull() & (F.length("text") > 0)
+        ).count()
+        walls.append(time.perf_counter() - t0)
+    walls.sort()
+    t_extract = walls[0]
     timings["extract_pipeline"] = round(t_extract, 3)
-    gen.unpersist()
+    timings["extract_pipeline_median"] = round(walls[len(walls) // 2], 3)
     assert n_ok >= n_docs * 0.99, f"extraction failures: {n_ok}/{n_docs}"
 
     # --- representative operator queries (driver-contract entries) ---

@@ -367,6 +367,22 @@ def _is_descendant(node_chain: tuple, keep: set[int]) -> bool:
     return any(id(a) in keep for a in node_chain)
 
 
+def _teardown(root: _Node) -> None:
+    """Break parent<->children reference cycles so the whole DOM frees
+    by refcount immediately. Without this, long-lived reused Spark
+    Python workers accumulate cyclic garbage across pages and CPython's
+    gen-2 GC rescans an ever-growing heap — measured 4x slowdown after
+    ~16k pages in one worker."""
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        for c in node.children:
+            if isinstance(c, _Node):
+                stack.append(c)
+        node.parent = None
+        node.children = []
+
+
 def extract_html(
     data: bytes, lang: str | None = None, mode: str = "auto"
 ) -> tuple[str, list[tuple[int, int, str]]]:
@@ -424,6 +440,7 @@ def extract_html(
         pos += len(rendered)
         out_parts.append(rendered)
         spans.append((start, pos, "heading" if b.heading else "para"))
+    _teardown(parser.root)
     return "\n\n".join(out_parts), spans
 
 

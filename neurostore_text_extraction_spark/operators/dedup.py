@@ -68,9 +68,10 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per doc with columns mh_0..mh_{k-1}: the lexicographic
     min of md5(f"{i}|{shingle}") over the doc's distinct shingles."""
-    sh = (
-        df.select(F.col(id_col), F.explode(shingles_col(text_col, shingle_words)).alias("sh"))
-        .distinct()
+    # no distinct: min over a multiset equals min over its set, so the
+    # extra (doc, shingle) dedup shuffle would be pure waste
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(text_col, shingle_words)).alias("sh")
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh_{i}")

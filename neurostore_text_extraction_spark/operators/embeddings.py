@@ -1,0 +1,116 @@
+"""Embedding pipeline (U4 / GeneralAPIEmbeddingExtractor,
+``ns_extract/pipelines/api.py:187-280`` + ``semantic_embeddings/
+model.py:13-22``): paragraph split (F8, ``api.py:262``), token-budget
+chunking (F9, ``api.py:217-242``; MAX_TOKENS=8192 MIN=5,
+``api.py:172-174``), per-chunk embedding, mean pool (A4,
+``api.py:275-278``).
+
+The reference calls an external embedding API; offline we use a
+deterministic feature-hash embedding (the classic hashing trick:
+token → md5 bucket, sign from another bit, l2-normalized) so tests are
+reproducible and the Spark plumbing — chunk explode, batched Arrow UDF,
+pooled groupBy — is identical to what a real model client would use.
+A real client drops into ``embed_chunks_udf``'s place unchanged
+(per-partition init, batched calls — O7's ``nlp.pipe`` analogue).
+"""
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+MAX_TOKENS = 8192  # api.py:172
+MIN_CHUNK_TOKENS = 5  # api.py:174
+EMBED_DIM = 64
+
+_SENT_RE = re.compile(r"(?<=[.!?])\s+")
+
+
+def split_paragraphs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """F8: blank-line paragraph explode (text format contract from the
+    extraction front-end)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n\n")).alias("para_idx", "para"),
+    ).where(F.length(F.trim("para")) > 0)
+
+
+def chunk_text(text: str, max_tokens: int = MAX_TOKENS, min_tokens: int = MIN_CHUNK_TOKENS) -> list[str]:
+    """F9: deterministic sentence-packing chunker. Sentences split on
+    terminal punctuation; whitespace tokens counted (tiktoken is not
+    available offline — the packing logic mirrors api.py:217-242);
+    chunks under min_tokens dropped."""
+    if not text:
+        return []
+    sentences = [s for s in _SENT_RE.split(text) if s.strip()]
+    chunks: list[str] = []
+    cur: list[str] = []
+    cur_tokens = 0
+    for sent in sentences:
+        n = len(sent.split())
+        if cur and cur_tokens + n > max_tokens:
+            chunks.append(" ".join(cur))
+            cur, cur_tokens = [], 0
+        if n > max_tokens:  # oversized sentence: hard split
+            words = sent.split()
+            for i in range(0, len(words), max_tokens):
+                chunks.append(" ".join(words[i : i + max_tokens]))
+            continue
+        cur.append(sent)
+        cur_tokens += n
+    if cur:
+        chunks.append(" ".join(cur))
+    return [c for c in chunks if len(c.split()) >= min_tokens]
+
+
+def hash_embed(text: str, dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic hashing-trick embedding, l2-normalized."""
+    vec = np.zeros(dim, dtype=np.float64)
+    for tok in text.lower().split():
+        h = hashlib.md5(tok.encode("utf-8")).digest()
+        bucket = int.from_bytes(h[:4], "big") % dim
+        sign = 1.0 if h[4] & 1 else -1.0
+        vec[bucket] += sign
+    n = float(np.linalg.norm(vec))
+    if n > 0:
+        vec /= n
+    return [float(x) for x in vec]
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def chunk_text_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda t: chunk_text(t) if t is not None else [])
+
+
+@pandas_udf(T.ArrayType(T.DoubleType()))
+def hash_embed_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda t: hash_embed(t) if t is not None else None)
+
+
+def embed_documents(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """text → chunks (Arrow UDF) → explode → per-chunk hash embedding
+    (Arrow UDF) → mean pool per doc (A4) with native posexplode/avg —
+    the full U4 pipeline, one shuffle (the final groupBy)."""
+    chunks = df.select(
+        F.col(id_col), F.explode(chunk_text_udf(F.col(text_col))).alias("chunk")
+    )
+    chunk_vecs = chunks.select(
+        F.col(id_col), hash_embed_udf(F.col("chunk")).alias("vec")
+    )
+    pooled = (
+        chunk_vecs.select(F.col(id_col), F.posexplode("vec").alias("dim", "v"))
+        .groupBy(id_col, "dim")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mv"))).alias("pairs"))
+        .select(
+            F.col(id_col),
+            F.transform(F.col("pairs"), lambda p: p["mv"]).alias("embedding"),
+        )
+    )
+    return pooled

@@ -1,0 +1,90 @@
+"""Entity linking via char-ngram cosine candidate generation (U7 /
+UMLSDiseaseExtractor, ``ns_extract/pipelines/umls_disease/model.py:
+67-320``): the reference uses scispacy's ``CandidateGenerator`` (char
+3-gram tf-idf ANN over a concept lexicon, k=30) then threshold + top-k
+filtering (W4/W5, ``model.py:249-273``).
+
+Re-expressed as pure DataFrame algebra (SQL-oracle-able):
+- mention and lexicon strings → lowercased char 3-grams with counts;
+- candidate score = cosine over ngram count vectors, computed by an
+  equi-join on the shared ngram (sparse dot product — only colliding
+  ngrams contribute), so the pair space is pruned exactly like an
+  inverted index;
+- per-mention top-k by (score desc, concept_id asc) + score threshold;
+  a stricter ``no_definition_threshold`` applies to concepts without a
+  definition (``model.py:249-270``).
+
+The lexicon side is small (a concept vocabulary) → broadcast; the
+mention side scales with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _ngram_counts(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, ngram, cnt) rows via native substring explode."""
+    low = F.lower(F.col(text_col))
+    grams = F.when(F.length(low) < n, F.array(low)).otherwise(
+        F.expr(
+            f"transform(sequence(1, length(lower({text_col})) - {n - 1}), "
+            f"i -> substring(lower({text_col}), i, {n}))"
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("ng"))
+        .groupBy(id_col, "ng")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+
+
+def link_entities(
+    mentions: DataFrame,
+    lexicon: DataFrame,
+    k: int = 5,
+    threshold: float = 0.5,
+    no_definition_threshold: float = 0.7,
+    mention_id: str = "mention_id",
+    mention_text: str = "mention",
+    concept_id: str = "concept_id",
+    concept_text: str = "concept_name",
+) -> DataFrame:
+    """mentions(mention_id, mention) × lexicon(concept_id, concept_name,
+    has_definition) → (mention_id, concept_id, score, rank)."""
+    m = _ngram_counts(mentions, mention_id, mention_text)
+    c = _ngram_counts(lexicon, concept_id, concept_text)
+    m_norm = m.groupBy(mention_id).agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("m_norm")
+    )
+    c_norm = c.groupBy(concept_id).agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("c_norm")
+    )
+    dots = (
+        m.alias("m")
+        .join(F.broadcast(c.alias("c")), F.col("m.ng") == F.col("c.ng"))
+        .groupBy(mention_id, concept_id)
+        .agg(F.sum(F.col("m.cnt") * F.col("c.cnt")).alias("dot"))
+    )
+    scored = (
+        dots.join(m_norm, mention_id)
+        .join(F.broadcast(c_norm), concept_id)
+        .select(
+            mention_id,
+            concept_id,
+            (F.col("dot") / (F.col("m_norm") * F.col("c_norm"))).alias("score"),
+        )
+    )
+    has_def = lexicon.select(concept_id, "has_definition")
+    thresholded = scored.join(F.broadcast(has_def), concept_id).where(
+        (F.col("has_definition") & (F.col("score") >= threshold))
+        | (~F.col("has_definition") & (F.col("score") >= no_definition_threshold))
+    )
+    w = Window.partitionBy(mention_id).orderBy(
+        F.col("score").desc(), F.col(concept_id).asc()
+    )
+    return (
+        thresholded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(mention_id, concept_id, "score", "rank")
+    )

@@ -65,3 +65,16 @@ def changed_ids(
     return current.select(id_col, md5_col).join(
         prior.select(id_col, md5_col), [id_col, md5_col], "left_anti"
     ).select(id_col)
+
+
+def corpus_hash_df(df: "DataFrame", id_col: str = "url") -> "DataFrame":
+    """A5 corpus-keys hash (``base.py:646-669``): sha256 of the sorted,
+    '_'-joined id list — the DependentPipeline group-identity component
+    of the cache key. One row out. At large scale prefer hashing the
+    snapshot id instead; this is the exact reference-parity form."""
+    return df.agg(
+        F.sha2(
+            F.concat_ws("_", F.sort_array(F.collect_list(F.col(id_col).cast("string")))),
+            256,
+        ).alias("corpus_sha256")
+    )

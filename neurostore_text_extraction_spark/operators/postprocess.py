@@ -9,6 +9,7 @@ column transforms usable in any pipeline stage.
 """
 
 import pandas as pd
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.textnorm import (
@@ -18,13 +19,21 @@ from ..functions.textnorm import (
     resolve_abbreviations,
 )
 
-ABBREV_SCHEMA = (
-    "array<struct<short_text:string,short_start:int,short_end:int,"
-    "long_text:string,long_start:int,long_end:int>>"
+ABBREV_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("short_text", T.StringType()),
+            T.StructField("short_start", T.IntegerType()),
+            T.StructField("short_end", T.IntegerType()),
+            T.StructField("long_text", T.StringType()),
+            T.StructField("long_start", T.IntegerType()),
+            T.StructField("long_end", T.IntegerType()),
+        ]
+    )
 )
 
 
-@pandas_udf("string")
+@pandas_udf(T.StringType())
 def normalize_string_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: normalize_string(x) if x is not None else None)
 
@@ -49,7 +58,7 @@ def extract_abbreviations_udf(s: pd.Series) -> pd.Series:
     return s.map(run)
 
 
-@pandas_udf("string")
+@pandas_udf(T.StringType())
 def resolve_and_clean_udf(text: pd.Series, source: pd.Series) -> pd.Series:
     """Expand abbreviations found in `source` within `text`, then strip
     parenthetical definitions — the reference's post_process chain

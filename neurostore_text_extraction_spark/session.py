@@ -50,7 +50,24 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # Page rows are fat (10KB-2MB of html) and downstream work is
+        # ~ms/row of Python, so scan splits must be small enough to keep
+        # every core fed (128MB default → 3 tasks for a 300MB table →
+        # concurrency 3/32). But splits must stay >= the parquet row
+        # group size: a split smaller than a row group makes several
+        # tasks re-decode the same group (measured superlinear blowup at
+        # 4MB splits over 20MB row groups). 32MB splits + writing page
+        # tables with parquet.block.size=8MB gives one-group-per-task.
+        .config("spark.sql.files.maxPartitionBytes", "32m")
+        .config("spark.sql.files.openCostInBytes", "2m")
+        .config("spark.hadoop.parquet.block.size", str(8 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # RAM-backed shuffle: this box has 128 GiB and a ~500 MB/s disk;
+        # payload-heavy exchanges (the url-hash salt shuffle moves every
+        # html byte) intermittently collapse 10x behind disk contention.
+        # On a real cluster this is local NVMe + network — tmpfs is the
+        # closest local-mode analogue.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )

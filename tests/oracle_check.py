@@ -8,6 +8,8 @@ tests/test_entry.py and runnable standalone:
 from __future__ import annotations
 
 import math
+
+import numpy as np
 import sys
 
 import duckdb
@@ -30,8 +32,16 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def canonical(df: pd.DataFrame) -> pd.DataFrame:
     out = df.reindex(sorted(df.columns), axis=1).copy()
     for c in out.columns:
-        if out[c].dtype == object:
-            out[c] = out[c].map(lambda v: str(v) if v is not None else None)
+        if pd.api.types.is_float_dtype(out[c]):
+            continue
+        # normalize all NA flavors (None, pd.NA, NaN-in-object, NaT) to
+        # one token so sort keys align across engines
+        col = out[c].astype(object)
+        out[c] = col.map(
+            lambda v: str(v)
+            if isinstance(v, (list, tuple, dict, bytes, np.ndarray))
+            else ("\x00NA" if pd.isna(v) else str(v))
+        )
     out = out.sort_values(by=list(out.columns), key=lambda s: s.astype(str)).reset_index(
         drop=True
     )

@@ -1,0 +1,204 @@
+"""Tests for extension operators: embedding pipeline (U4/F8/F9),
+entity linking (U7), demographics cleanup (F13/U8), metrics (F14),
+multimodal plumbing, streaming ingest."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from neurostore_text_extraction_spark.functions import metrics as M
+from neurostore_text_extraction_spark.operators import embeddings as E
+from neurostore_text_extraction_spark.operators import multimodal as MM
+from neurostore_text_extraction_spark.operators.demographics import (
+    clean_groups,
+    has_patient_group,
+    recollect_groups,
+)
+from neurostore_text_extraction_spark.operators.entity_link import link_entities
+
+
+def test_chunk_text_packing():
+    text = "One two three four five six. Seven eight nine ten eleven. " * 3
+    chunks = E.chunk_text(text, max_tokens=12, min_tokens=5)
+    assert chunks
+    for c in chunks:
+        assert len(c.split()) <= 12
+    # tiny chunks dropped
+    assert E.chunk_text("Hi there.", max_tokens=10, min_tokens=5) == []
+    assert E.chunk_text("") == []
+    # oversized single sentence hard-splits
+    long_sent = " ".join(["w"] * 30)
+    got = E.chunk_text(long_sent, max_tokens=10, min_tokens=5)
+    assert all(len(c.split()) <= 10 for c in got)
+    assert sum(len(c.split()) for c in got) == 30
+
+
+def test_hash_embed_deterministic_normalized():
+    v1 = E.hash_embed("the quick brown fox jumps")
+    v2 = E.hash_embed("the quick brown fox jumps")
+    assert v1 == v2
+    assert abs(sum(x * x for x in v1) - 1.0) < 1e-9
+    assert E.hash_embed("") == [0.0] * E.EMBED_DIM
+
+
+def test_embed_documents_pipeline(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"), (2, None), (3, "x y")],
+        "doc_id long, text string",
+    )
+    out = E.embed_documents(df).collect()
+    got = {r.doc_id: r.embedding for r in out}
+    # doc 2 (null) and doc 3 (<5 tokens after chunk filter) drop out
+    assert set(got) == {1}
+    expected = E.hash_embed("alpha beta gamma delta epsilon zeta eta theta")
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got[1], expected))
+
+
+def test_split_paragraphs(spark):
+    df = spark.createDataFrame(
+        [(1, "## Head\n\npara one here\n\npara two here")], "doc_id long, text string"
+    )
+    rows = E.split_paragraphs(df).collect()
+    assert [r.para for r in sorted(rows, key=lambda r: r.para_idx)] == [
+        "## Head",
+        "para one here",
+        "para two here",
+    ]
+
+
+def test_link_entities_exact_match_first(spark):
+    mentions = spark.createDataFrame(
+        [(1, "brain imaging study"), (2, "zzqq vvkk")],
+        "mention_id long, mention string",
+    )
+    lexicon = spark.createDataFrame(
+        [
+            (10, "brain imaging study", True),
+            (11, "brain imaging method", True),
+            (12, "unrelated concept", False),
+        ],
+        "concept_id int, concept_name string, has_definition boolean",
+    )
+    rows = link_entities(mentions, lexicon, k=2, threshold=0.3).collect()
+    by_mention = {}
+    for r in rows:
+        by_mention.setdefault(r.mention_id, []).append(r)
+    top = sorted(by_mention[1], key=lambda r: r.rank)[0]
+    assert top.concept_id == 10 and abs(top.score - 1.0) < 1e-9
+    assert 2 not in by_mention  # garbage mention: nothing above threshold
+
+
+def test_clean_groups_imputation(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "u1",
+                [
+                    ("control", None, 10, None, 4),  # male imputed 6
+                    ("patient", "mdd", None, 1, 1),  # dropped: null count
+                    ("mixed", "x", -3, None, None),  # clipped to 0, both null
+                ],
+            )
+        ],
+        "url string, groups array<struct<group_name:string,diagnosis:string,"
+        "count:int,male_count:int,female_count:int>>",
+    )
+    rows = clean_groups(df).collect()
+    got = {r.group_name: r for r in rows}
+    assert set(got) == {"control", "mixed"}
+    c = got["control"]
+    assert c.diagnosis == "healthy" and c["count"] == 10
+    assert c.male_count == 6 and c.female_count == 4
+    m = got["mixed"]
+    assert m["count"] == 0 and m.male_count is None and m.female_count is None
+    # recollect round-trip keeps one row per url
+    assert recollect_groups(clean_groups(df)).count() == 1
+
+
+def test_has_patient_group(spark):
+    df = spark.createDataFrame(
+        [("a", [("Patient",)]), ("b", [("control",)])],
+        "url string, groups array<struct<group_name:string>>",
+    )
+    got = {r.url: r.p for r in df.select("url", has_patient_group(F.col("groups")).alias("p")).collect()}
+    assert got == {"a": True, "b": False}
+
+
+def test_metrics_normalizers(spark):
+    df = spark.createDataFrame(
+        [("  MiXed   Case\ttext ", "~42kg", "Yes", "ages 18-25 years")],
+        "t string, n string, b string, a string",
+    )
+    r = df.select(
+        M.norm_text(F.col("t")).alias("t"),
+        M.coerce_numeric(F.col("n")).alias("n"),
+        M.coerce_boolean(F.col("b")).alias("b"),
+        M.age_range_lo(F.col("a")).alias("lo"),
+        M.age_range_hi(F.col("a")).alias("hi"),
+    ).first()
+    assert r.t == "mixed case text"
+    assert r.n == 42.0
+    assert r.b is True
+    assert (r.lo, r.hi) == (18, 25)
+
+
+def test_blob_metadata_and_sniff(spark):
+    blobs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "blob_id": ["png", "pdf", "plain", "nul"],
+                "blob": [b"\x89PNG\r\n rest", b"%PDF-1.4 x", b"hello world", None],
+            }
+        ),
+        "blob_id string, blob binary",
+    )
+    rows = {r.blob_id: r for r in MM.blob_metadata(blobs).collect()}
+    assert rows["png"].media_type == "image/png"
+    assert rows["pdf"].media_type == "application/pdf"
+    assert rows["plain"].media_type == "application/octet-stream"
+    assert rows["plain"].n_bytes == 11
+    assert rows["nul"].media_type is None
+
+
+def test_extract_features_fake_decode(spark):
+    blobs = spark.createDataFrame(
+        pd.DataFrame({"blob_id": ["a"], "blob": [b"\x10" * 5000]}),
+        "blob_id string, blob binary",
+    )
+    row = MM.extract_features(blobs).first()
+    assert len(row.features) == 16
+    # deterministic fake decode: 0x10/255 everywhere in the first 4096B
+    assert abs(row.features[0] - 0x10 / 255.0) < 1e-6
+
+
+def test_decode_stub_raises_without_fake():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        MM._decode_stub(b"\x89PNG", "image/png", fake=False)
+
+
+def test_streaming_ingest(spark, tmp_path):
+    from neurostore_text_extraction_spark.plans.pipeline import read_results
+    from neurostore_text_extraction_spark.sources.pages import (
+        generate_pages,
+        pages_view,
+    )
+    from neurostore_text_extraction_spark.streaming.ingest import stream_extract
+
+    gen = generate_pages(spark, 40, 4).cache()
+    input_dir = str(tmp_path / "in")
+    pages_view(gen).write.parquet(input_dir)
+    store = str(tmp_path / "store")
+    q = stream_extract(
+        spark, input_dir, store, str(tmp_path / "ckpt"), num_partitions=4
+    )
+    res = read_results(spark, store)
+    assert res.count() == 40
+    mism = res.join(gen.select("url", "golden_text"), "url").filter(
+        "text != golden_text"
+    )
+    assert mism.count() == 0
+    # replay with same checkpoint: no duplicates (idempotent by manifest)
+    stream_extract(spark, input_dir, store, str(tmp_path / "ckpt2"), num_partitions=4)
+    assert read_results(spark, store).count() == 40
+    gen.unpersist()
