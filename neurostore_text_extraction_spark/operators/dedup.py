@@ -115,6 +115,10 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select(id_col, *[f"mh_{i}" for i in range(k)], "band.band_idx", "band.band_hash")
+    # The self-join consumes `bands` twice; without persistence Spark
+    # recomputes the whole tokenize->shingle->minhash tree per side.
+    # bands is tiny (n_docs x n_bands short rows), so cache it.
+    bands = bands.persist()
     a = bands.select(
         F.col(id_col).alias("doc_a"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)],
@@ -179,6 +183,9 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, shingle_words)).alias("sh")
     ).distinct()
+    # consumed three times (self-join sides + sizes): cache the small
+    # (id, shingle) frame instead of recomputing the tokenize tree
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")
