@@ -537,6 +537,56 @@ def _q_blob_metadata(spark, sf):
 
 
 
+def _q_event_sessions(spark, sf):
+    """Batch sessionization over the events stream table (the batch
+    analog of streaming session windows): a session breaks when a
+    user's inter-event gap exceeds 30 minutes; per user report session
+    count and events-per-session."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).withColumn(
+        "new_session",
+        (
+            F.col("prev_ts").isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > 1800)
+        ).cast("int"),
+    )
+    sess = gaps.withColumn(
+        "session_id", F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.round(F.count("*") / F.max("session_id"), 4).alias("events_per_session"),
+        )
+    )
+
+
+def _q_events_json(spark, sf):
+    """JSON field extraction + typed aggregation over the event props
+    column (S6 JSON-source analog)."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(k).cast("long").alias("sum_k"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "word_count": _q_word_count,
@@ -571,6 +621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_pairing": _q_table_pairing,
         "hash_embedding": _q_hash_embedding,
         "blob_metadata": _q_blob_metadata,
+        "event_sessions": _q_event_sessions,
+        "events_json": _q_events_json,
     }
 
 
@@ -1058,5 +1110,34 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text))::BIGINT AS n_bytes,
                    sha256(text) AS sha256
             FROM documents WHERE text IS NOT NULL
+        """,
+        "event_sessions": """
+            WITH gaps AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ),
+            marked AS (
+              SELECT user_id, event_id, ts,
+                CASE WHEN prev_ts IS NULL
+                          OR date_diff('second', prev_ts, ts) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM gaps
+            ),
+            sess AS (
+              SELECT user_id,
+                     SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM marked
+            )
+            SELECT user_id, MAX(session_id)::BIGINT AS n_sessions,
+                   round(COUNT(*) / CAST(MAX(session_id) AS DOUBLE), 4) AS events_per_session
+            FROM sess GROUP BY user_id
+        """,
+        "events_json": """
+            SELECT event_type, COUNT(*)::BIGINT AS n,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   round(AVG(value), 4) AS avg_value
+            FROM events GROUP BY event_type
         """,
     }
