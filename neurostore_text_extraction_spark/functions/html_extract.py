@@ -136,6 +136,9 @@ class _Node:
     children: list = field(default_factory=list)  # _Node | str
     # readability candidate score, filled during scoring
     score: float = 0.0
+    # memoized class/id prior (computed at most once per node — profiled
+    # as a top-3 hot spot when recomputed per block per ancestor)
+    _hint: int | None = None
 
     @property
     def hint_text(self) -> str:
@@ -208,6 +211,7 @@ class _Block:
     tag: str
     ancestors: tuple  # tuple of _Node, innermost last
     heading: bool
+    words: list  # cached text.split() — reused by classify + scoring
 
     @property
     def n_chars(self) -> int:
@@ -229,11 +233,12 @@ def _collect_blocks(root: _Node, block_tags=_BLOCK_TAGS, heading_tags=_HEADING_T
     anc_at_open: list[tuple] = []
 
     def flush(tag: str, ancestors: tuple):
-        raw = _collapse_ws("".join(parts))
+        words = "".join(parts).split()
+        raw = " ".join(words)
         if raw:
             link_len = len(_collapse_ws("".join(link_parts)))
             heading = tag in heading_tags
-            blocks.append(_Block(raw, link_len, tag, ancestors, heading))
+            blocks.append(_Block(raw, link_len, tag, ancestors, heading, words))
         parts.clear()
         link_parts.clear()
 
@@ -264,22 +269,29 @@ def _collect_blocks(root: _Node, block_tags=_BLOCK_TAGS, heading_tags=_HEADING_T
 
 
 def _hint_score(node: _Node) -> int:
+    if node._hint is not None:
+        return node._hint
     h = node.hint_text
-    if not h.strip():
-        return 0
     s = 0
-    if any(n in h for n in _NEGATIVE_HINTS):
-        s -= 1
-    if any(p in h for p in _POSITIVE_HINTS):
-        s += 1
+    if h.strip():
+        if any(n in h for n in _NEGATIVE_HINTS):
+            s -= 1
+        if any(p in h for p in _POSITIVE_HINTS):
+            s += 1
+    node._hint = s
     return s
+
+
+_DENSITY_SAMPLE = 64  # density estimate over a prefix; full scans of
+# 1000-word blocks were the profiled hot spot and add no signal
 
 
 def _stopword_density(words: list[str], stopwords: frozenset) -> float:
     if not words:
         return 0.0
-    hits = sum(1 for w in words if w.lower().strip(".,;:!?()[]\"'") in stopwords)
-    return hits / len(words)
+    sample = words[:_DENSITY_SAMPLE]
+    hits = sum(1 for w in sample if w.lower().strip(".,;:!?()[]\"'") in stopwords)
+    return hits / len(sample)
 
 
 def _classify_boilerplate(b: _Block, stopwords: frozenset) -> bool:
@@ -289,8 +301,7 @@ def _classify_boilerplate(b: _Block, stopwords: frozenset) -> bool:
     if n == 0:
         return True
     ld = b.link_chars / n
-    words = b.text.split()
-    nw = len(words)
+    nw = len(b.words)
     hint = min((_hint_score(a) for a in b.ancestors[-3:]), default=0)
     if hint < 0 and not b.heading:
         # negative ancestor hint needs strong evidence to survive
@@ -320,13 +331,12 @@ def _score_candidates(blocks: list[_Block], stopwords: frozenset) -> _Node | Non
     for b in blocks:
         if b.heading:
             continue
-        words = b.text.split()
-        if len(words) < 8:
+        if len(b.words) < 8:
             continue
         ld = b.link_chars / max(b.n_chars, 1)
         pts = 1.0 + b.text.count(",") + min(b.n_chars / 100.0, 3.0)
         pts *= max(0.0, 1.0 - 2.0 * ld)
-        pts *= 0.5 + _stopword_density(words, stopwords)
+        pts *= 0.5 + _stopword_density(b.words, stopwords)
         chain = b.ancestors
         parent = chain[-2] if len(chain) >= 2 else None
         grand = chain[-3] if len(chain) >= 3 else None
