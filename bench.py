@@ -28,7 +28,7 @@ _SF_GUESS = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else
 # Sized so the extraction stage runs tens of seconds at 32 cores —
 # fixed costs (JVM scheduling, python-worker fork) must not dominate,
 # or the N-vs-4N scaling measurement measures startup, not throughput.
-N_PAGES = int(os.environ.get("SPARK_GRAFT_N_PAGES", str(max(400, int(320000 * _SF_GUESS)))))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_N_PAGES", str(max(400, int(640000 * _SF_GUESS)))))
 
 
 def main() -> None:
