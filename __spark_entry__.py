@@ -11,7 +11,13 @@ by name.
 from __future__ import annotations
 
 import hashlib
+import os
+import sys
 from collections.abc import Callable
+
+# the engine package lives next to this file; make imports robust to
+# the driver loading this module from any working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
