@@ -406,20 +406,62 @@ _LEXICON = [
 
 
 def _q_entity_link(spark, sf):
-    """U7 char-ngram cosine candidate generation + threshold/top-k."""
+    """U7 char-ngram cosine candidate generation + threshold/top-k.
+
+    Mentions are lexicon terms (picked by doc_id) perturbed with a noise
+    suffix from the doc's own text, so candidate scores are high for the
+    source concept and moderate for related ones — a non-vacuous,
+    discriminating result set at the production thresholds (reference
+    semantics: ``umls_disease/model.py:249-273``)."""
     from neurostore_text_extraction_spark.operators.entity_link import link_entities
+
+    docs = _t(spark, sf, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") >= 24)
+    )
+    names = F.array(*[F.lit(name) for _, name, _ in _LEXICON])
+    mentions = docs.select(
+        F.col("doc_id").alias("mention_id"),
+        F.concat(
+            F.element_at(names, (F.col("doc_id") % 8 + 1).cast("int")),
+            F.lit(" "),
+            F.substring("text", 1, 6),
+        ).alias("mention"),
+    )
+    lexicon = spark.createDataFrame(
+        _LEXICON, "concept_id int, concept_name string, has_definition boolean"
+    )
+    out = link_entities(mentions, lexicon, k=3, threshold=0.35, no_definition_threshold=0.45)
+    return out.select(
+        "mention_id", "concept_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+_CTX_SOURCE = "We analysed the brain imaging study (BIS) cohort."
+
+
+def _q_entity_link_ctx(spark, sf):
+    """J3 abbreviation-context linking: the mention carries a short
+    form ('BIS') defined in its study's source text; the mention is
+    expanded before candidate generation, so it links strongly to the
+    'brain imaging study' concept. Oracle = replace() + same cosine."""
+    from neurostore_text_extraction_spark.operators.entity_link import (
+        link_entities_with_context,
+    )
 
     docs = _t(spark, sf, "documents").where(
         F.col("text").isNotNull() & (F.length("text") >= 24)
     )
     mentions = docs.select(
         F.col("doc_id").alias("mention_id"),
-        F.substring("text", 1, 24).alias("mention"),
+        F.concat(F.lit("BIS "), F.substring("text", 1, 6)).alias("mention"),
+        F.lit(_CTX_SOURCE).alias("source_text"),
     )
     lexicon = spark.createDataFrame(
         _LEXICON, "concept_id int, concept_name string, has_definition boolean"
     )
-    out = link_entities(mentions, lexicon, k=3, threshold=0.35, no_definition_threshold=0.45)
+    out = link_entities_with_context(
+        mentions, lexicon, k=3, threshold=0.35, no_definition_threshold=0.45
+    )
     return out.select(
         "mention_id", "concept_id", F.round("score", 6).alias("score"), "rank"
     )
@@ -620,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abbreviations": _q_abbreviations,
         "extract_roundtrip": _q_extract_roundtrip,
         "entity_link": _q_entity_link,
+        "entity_link_ctx": _q_entity_link_ctx,
         "demographics_clean": _q_demographics,
         "patient_study": _q_patient_study,
         "metrics_normalize": _q_metrics_normalize,
@@ -696,6 +739,63 @@ def _lexicon_values_sql() -> str:
     return ", ".join(
         f"({cid}, '{name}', {str(has).lower()})" for cid, name, has in _LEXICON
     )
+
+
+def _lexicon_case_sql() -> str:
+    """doc_id % 8 → lexicon term, mirroring the Spark element_at pick."""
+    whens = " ".join(
+        f"WHEN {i} THEN '{name}'" for i, (_, name, _) in enumerate(_LEXICON)
+    )
+    return f"(CASE (doc_id % 8) {whens} END)"
+
+
+def _entity_link_oracle(mention_expr: str) -> str:
+    """Char-3-gram cosine linking oracle, parameterized on the mention
+    construction expression (shared by entity_link / entity_link_ctx)."""
+    return f"""
+        WITH lex(concept_id, concept_name, has_definition) AS (VALUES {_lexicon_values_sql()}),
+        m AS (
+          SELECT doc_id AS mention_id, lower({mention_expr}) AS s
+          FROM documents WHERE text IS NOT NULL AND length(text) >= 24
+        ),
+        mg AS (
+          SELECT mention_id, ng, COUNT(*)::DOUBLE AS cnt FROM (
+            SELECT mention_id, unnest(list_transform(
+              generate_series(1, length(s) - 2), i -> substring(s, i, 3))) AS ng
+            FROM m WHERE length(s) >= 3
+          ) GROUP BY 1, 2
+        ),
+        cgr AS (
+          SELECT concept_id, ng, COUNT(*)::DOUBLE AS cnt FROM (
+            SELECT concept_id, unnest(list_transform(
+              generate_series(1, length(lower(concept_name)) - 2),
+              i -> substring(lower(concept_name), i, 3))) AS ng
+            FROM lex
+          ) GROUP BY 1, 2
+        ),
+        mn AS (SELECT mention_id, sqrt(SUM(cnt*cnt)) AS m_norm FROM mg GROUP BY 1),
+        cn AS (SELECT concept_id, sqrt(SUM(cnt*cnt)) AS c_norm FROM cgr GROUP BY 1),
+        dots AS (
+          SELECT mg.mention_id, cgr.concept_id, SUM(mg.cnt * cgr.cnt) AS dot
+          FROM mg JOIN cgr USING (ng) GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT d.mention_id, d.concept_id, d.dot / (mn.m_norm * cn.c_norm) AS score
+          FROM dots d JOIN mn USING (mention_id) JOIN cn USING (concept_id)
+        ),
+        thresholded AS (
+          SELECT s.* FROM scored s JOIN lex USING (concept_id)
+          WHERE (lex.has_definition AND s.score >= 0.35)
+             OR (NOT lex.has_definition AND s.score >= 0.45)
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY mention_id
+                    ORDER BY score DESC, concept_id ASC) AS rank
+          FROM thresholded
+        )
+        SELECT mention_id, concept_id, round(score, 6) AS score, rank::INT AS rank
+        FROM ranked WHERE rank <= 3
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -980,50 +1080,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE len(regexp_extract_all(lower(text), '\w\w+')) >= 8
         """,
-        "entity_link": f"""
-            WITH lex(concept_id, concept_name, has_definition) AS (VALUES {_lexicon_values_sql()}),
-            m AS (
-              SELECT doc_id AS mention_id, lower(substring(text, 1, 24)) AS s
-              FROM documents WHERE text IS NOT NULL AND length(text) >= 24
-            ),
-            mg AS (
-              SELECT mention_id, ng, COUNT(*)::DOUBLE AS cnt FROM (
-                SELECT mention_id, unnest(list_transform(
-                  generate_series(1, length(s) - 2), i -> substring(s, i, 3))) AS ng
-                FROM m WHERE length(s) >= 3
-              ) GROUP BY 1, 2
-            ),
-            cgr AS (
-              SELECT concept_id, ng, COUNT(*)::DOUBLE AS cnt FROM (
-                SELECT concept_id, unnest(list_transform(
-                  generate_series(1, length(lower(concept_name)) - 2),
-                  i -> substring(lower(concept_name), i, 3))) AS ng
-                FROM lex
-              ) GROUP BY 1, 2
-            ),
-            mn AS (SELECT mention_id, sqrt(SUM(cnt*cnt)) AS m_norm FROM mg GROUP BY 1),
-            cn AS (SELECT concept_id, sqrt(SUM(cnt*cnt)) AS c_norm FROM cgr GROUP BY 1),
-            dots AS (
-              SELECT mg.mention_id, cgr.concept_id, SUM(mg.cnt * cgr.cnt) AS dot
-              FROM mg JOIN cgr USING (ng) GROUP BY 1, 2
-            ),
-            scored AS (
-              SELECT d.mention_id, d.concept_id, d.dot / (mn.m_norm * cn.c_norm) AS score
-              FROM dots d JOIN mn USING (mention_id) JOIN cn USING (concept_id)
-            ),
-            thresholded AS (
-              SELECT s.* FROM scored s JOIN lex USING (concept_id)
-              WHERE (lex.has_definition AND s.score >= 0.35)
-                 OR (NOT lex.has_definition AND s.score >= 0.45)
-            ),
-            ranked AS (
-              SELECT *, row_number() OVER (PARTITION BY mention_id
-                        ORDER BY score DESC, concept_id ASC) AS rank
-              FROM thresholded
-            )
-            SELECT mention_id, concept_id, round(score, 6) AS score, rank::INT AS rank
-            FROM ranked WHERE rank <= 3
-        """,
+        "entity_link": _entity_link_oracle(
+            f"{_lexicon_case_sql()} || ' ' || substring(text, 1, 6)"
+        ),
+        "entity_link_ctx": _entity_link_oracle(
+            "replace('BIS ' || substring(text, 1, 6), 'BIS', 'brain imaging study')"
+        ),
         "demographics_clean": f"""
             WITH g AS (
               SELECT doc_id, unnest(groups, recursive := true) FROM ({_GROUPS_SQL}) t

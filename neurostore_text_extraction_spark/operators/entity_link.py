@@ -39,6 +39,31 @@ def _ngram_counts(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
 
 
+def link_entities_with_context(
+    mentions: DataFrame,
+    lexicon: DataFrame,
+    source_text: str = "source_text",
+    mention_text: str = "mention",
+    **kwargs,
+) -> DataFrame:
+    """J3: group-row ⨝ source doc. The reference re-joins each
+    demographics group row to its study's full text and resolves
+    abbreviations in the mention span-bounded before candidate
+    generation (``umls_disease/model.py:214-231, 289-318``).
+
+    Here the source text is carried through on the mention row (no
+    extra shuffle — the join is fused at mention-construction time) and
+    the mention is abbreviation-expanded by an Arrow-batched UDF before
+    the ngram-cosine linking."""
+    from .postprocess import resolve_abbreviations_udf
+
+    resolved = mentions.withColumn(
+        mention_text,
+        resolve_abbreviations_udf(F.col(mention_text), F.col(source_text)),
+    ).drop(source_text)
+    return link_entities(resolved, lexicon, mention_text=mention_text, **kwargs)
+
+
 def link_entities(
     mentions: DataFrame,
     lexicon: DataFrame,

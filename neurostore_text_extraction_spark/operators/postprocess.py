@@ -59,6 +59,20 @@ def extract_abbreviations_udf(s: pd.Series) -> pd.Series:
 
 
 @pandas_udf(T.StringType())
+def resolve_abbreviations_udf(text: pd.Series, source: pd.Series) -> pd.Series:
+    """Expand abbreviations defined in `source` within `text` only (no
+    definition stripping) — the J3 mention-expansion step
+    (``umls_disease/model.py:214-231``)."""
+
+    def run(t, src):
+        if t is None:
+            return None
+        return resolve_abbreviations(t, extract_abbreviations(src) if src else [])
+
+    return pd.Series([run(t, s) for t, s in zip(text, source)])
+
+
+@pandas_udf(T.StringType())
 def resolve_and_clean_udf(text: pd.Series, source: pd.Series) -> pd.Series:
     """Expand abbreviations found in `source` within `text`, then strip
     parenthetical definitions — the reference's post_process chain
