@@ -10,7 +10,6 @@ by name.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 from collections.abc import Callable
@@ -102,13 +101,43 @@ def _q_exact_dedup(spark, sf):
     return dedup.exact_duplicates(_t(spark, sf, "documents"))
 
 
+def _docs_with_neardups(spark, sf):
+    """documents ∪ perturbed copies (3-word tail appended, ids offset)
+    — guarantees true near-duplicate pairs so the LSH/SimHash pair
+    queries stay non-vacuous at production parameters."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    pert = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate tail")).alias("text"),
+    )
+    return docs.unionAll(pert)
+
+
+_NEARDUP_DOCS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000, text || ' near duplicate tail' FROM documents"
+)
+
+
 def _q_minhash_pairs(spark, sf):
-    out = dedup.minhash_lsh_pairs(_t(spark, sf, "documents"))
+    out = dedup.minhash_lsh_pairs(_docs_with_neardups(spark, sf))
     return out.select("doc_a", "doc_b", F.round("est_jaccard", 3).alias("est_jaccard"))
+
+
+def _q_dedup_clusters(spark, sf):
+    """Connected components (union-find) over the MinHash-LSH candidate
+    pairs — emits dedup *clusters*, not just pairs."""
+    pairs = dedup.minhash_lsh_pairs(_docs_with_neardups(spark, sf))
+    return dedup.connected_components(pairs)
 
 
 def _q_simhash(spark, sf):
     return dedup.simhash(_t(spark, sf, "documents"))
+
+
+def _q_simhash_pairs(spark, sf):
+    out = dedup.simhash_pairs(_docs_with_neardups(spark, sf))
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def _q_ngram_jaccard(spark, sf):
@@ -270,57 +299,30 @@ def _q_ann_bruteforce(spark, sf):
 
 _LSH_PLANES = 4
 _LSH_DIM = 64
-
-
-def _plane_weights() -> list[list[float]]:
-    """Deterministic hyperplanes from md5 — reproduced literally in the
-    SQL oracle (same hex-parse arithmetic)."""
-    ws = []
-    for p in range(_LSH_PLANES):
-        row = []
-        for d in range(_LSH_DIM):
-            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
-            row.append(int(h[:8], 16) / float(0x80000000) - 1.0)
-        ws.append(row)
-    return ws
+_LSH_TABLES = 8  # L independent tables: recall@5 = 0.97 on sf0.01
+_LSH_PROBES = 3  # probe bucket + 2 single-bit-flip neighbors per table
 
 
 def _q_ann_lsh(spark, sf):
-    """LSH-bucketed ANN: sign-signature bucket join, exact cosine
-    re-rank within bucket."""
+    """LSH-bucketed ANN: sign-signature bucket join over 8 hash tables
+    with 3 probes each, exact cosine re-rank within candidates (the
+    consolidated similarity.lsh_topk; measured recall@5 = 0.97 vs
+    brute force — see BENCH/recall_lsh.py)."""
     emb = _t(spark, sf, "embeddings")
-    ws = _plane_weights()
-
-    def bucket_col(vec):
-        bits = []
-        for p in range(_LSH_PLANES):
-            warr = F.array(*[F.lit(w) for w in ws[p]])
-            dot = F.aggregate(
-                F.zip_with(vec, warr, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        return sum(bits).cast("int")
-
-    vb = emb.withColumn("bucket", bucket_col(F.col("embedding")))
-    qb = vb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
-        "bucket",
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    scored = vb.join(F.broadcast(qb), "bucket").select(
-        "query_id",
-        "vec_id",
-        similarity.cosine_col(F.col("qvec"), F.col("embedding")).alias("cosine"),
+    out = similarity.lsh_topk(
+        emb,
+        queries,
+        dim=_LSH_DIM,
+        k=5,
+        n_planes=_LSH_PLANES,
+        n_probes=_LSH_PROBES,
+        n_tables=_LSH_TABLES,
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
     )
 
 
@@ -530,10 +532,21 @@ def _q_metrics_normalize(spark, sf):
 
 
 def _q_corpus_hash(spark, sf):
-    """A5 DependentPipeline group-identity hash."""
+    """A5 DependentPipeline group-identity hash (reference-parity form:
+    sorted collect_list — see corpus_hash_scalable for the scale path)."""
     from neurostore_text_extraction_spark.operators.incremental import corpus_hash_df
 
     return corpus_hash_df(_t(spark, sf, "documents"), id_col="doc_id")
+
+
+def _q_corpus_hash_scalable(spark, sf):
+    """A5 at scale: commutative (count, bit_xor, bit_xor) digest — no
+    single-task sorted collect."""
+    from neurostore_text_extraction_spark.operators.incremental import (
+        corpus_hash_scalable,
+    )
+
+    return corpus_hash_scalable(_t(spark, sf, "documents"), id_col="doc_id")
 
 
 def _q_table_pairing(spark, sf):
@@ -643,7 +656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": _q_tfidf,
         "dedup_exact": _q_exact_dedup,
         "dedup_minhash_lsh": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_simhash,
+        "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "lang_id": _q_lang_id,
         "quality_features": _q_quality,
@@ -667,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "patient_study": _q_patient_study,
         "metrics_normalize": _q_metrics_normalize,
         "corpus_hash": _q_corpus_hash,
+        "corpus_hash_scalable": _q_corpus_hash_scalable,
         "table_pairing": _q_table_pairing,
         "hash_embedding": _q_hash_embedding,
         "blob_metadata": _q_blob_metadata,
@@ -695,16 +711,60 @@ _SHINGLES4 = (
 )
 
 
-def _minhash_sig_sql() -> str:
-    mins = ", ".join(
-        f"min(md5('{i}|' || sh)) AS mh_{i}" for i in range(dedup.MINHASH_K)
+def _hex_int_sql(expr: str, start: int, n: int) -> str:
+    """Parse n hex chars of md5 output (1-based offset) into a BIGINT
+    — nibble-by-nibble arithmetic, identical on both engines."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring({expr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)
     )
+    return f"({terms})"
+
+
+def _minhash_ctes() -> str:
+    """Shared CTE chain for the MinHash-LSH oracles: docs-with-neardups
+    → shingles → double-hash signature (h1 + i*h2 mod 2^32, mirroring
+    dedup.minhash_signatures) → 32 bands of 4 → bucket cap → candidate
+    pairs → slot-equality est_jaccard."""
+    k = dedup.MINHASH_K
+    bs = dedup.LSH_BAND_SIZE
+    n_bands = k // bs
+    mins = ", ".join(f"min((h1 + {i} * h2) % 4294967296) AS mh_{i}" for i in range(k))
+    sig_list = ", ".join(f"mh_{i}" for i in range(k))
+    band_concat = " || '|' || ".join(f"sig[{bs} * b + {j + 1}]::VARCHAR" for j in range(bs))
     return f"""
-    WITH sh AS (
-      SELECT DISTINCT doc_id, unnest({_SHINGLES3}) AS sh FROM documents
-    )
-    SELECT doc_id, {mins} FROM sh GROUP BY doc_id
-    """
+    d AS ({_NEARDUP_DOCS_SQL}),
+    sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS sh FROM d),
+    hv AS (
+      SELECT doc_id, {_hex_int_sql('h', 1, 8)} AS h1, {_hex_int_sql('h', 9, 8)} AS h2
+      FROM (SELECT doc_id, md5(sh) AS h FROM sh)
+    ),
+    mins AS (SELECT doc_id, {mins} FROM hv GROUP BY doc_id),
+    sigt AS (SELECT doc_id, [{sig_list}] AS sig FROM mins),
+    bands AS (
+      SELECT doc_id, b AS band_idx, md5({band_concat}) AS band_hash
+      FROM sigt, (SELECT unnest(generate_series(0, {n_bands - 1})) AS b) bl
+    ),
+    capped AS (
+      SELECT doc_id, band_idx, band_hash FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz FROM bands
+      ) WHERE bsz <= {dedup.LSH_BUCKET_CAP}
+    ),
+    cpairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             len(list_filter(generate_series(1, {k}),
+                             i -> sa.sig[i] = sb.sig[i])) / {float(k)} AS est_jaccard
+      FROM cpairs
+      JOIN sigt sa ON sa.doc_id = doc_a
+      JOIN sigt sb ON sb.doc_id = doc_b
+    )"""
 
 
 def _lang_hits_sql(lang: str) -> str:
@@ -713,13 +773,17 @@ def _lang_hits_sql(lang: str) -> str:
 
 
 def _plane_weights_sql() -> str:
-    """Literal hyperplane arrays for the LSH oracle."""
-    ws = _plane_weights()
-    rows = ", ".join(
-        "(" + str(p) + ", [" + ", ".join(repr(x) for x in ws[p]) + "]::DOUBLE[])"
-        for p in range(_LSH_PLANES)
-    )
-    return f"(VALUES {rows}) AS planes(p, w)"
+    """Literal hyperplane arrays for the LSH oracle: one row per
+    (table, plane) from the same deterministic generator the Spark
+    side uses (similarity.plane_weights)."""
+    rows = []
+    for t in range(_LSH_TABLES):
+        ws = similarity.plane_weights(_LSH_DIM, _LSH_PLANES, table=t)
+        for p in range(_LSH_PLANES):
+            rows.append(
+                f"({t}, {p}, [" + ", ".join(repr(x) for x in ws[p]) + "]::DOUBLE[])"
+            )
+    return f"(VALUES {', '.join(rows)}) AS planes(t, p, w)"
 
 
 
@@ -799,13 +863,6 @@ def _entity_link_oracle(mention_expr: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    k = dedup.MINHASH_K
-    eq_slots = " + ".join(
-        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(k)
-    )
-    band_exprs = ", ".join(
-        f"({b}, md5(mh_{2*b} || '|' || mh_{2*b+1}))" for b in range(k // 2)
-    )
     simhash_bit = (
         "((strpos('0123456789abcdef', substring(h, b // 4 + 1, 1)) - 1)"
         " >> (b % 4)) & 1"
@@ -842,21 +899,50 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "dedup_minhash_lsh": f"""
-            WITH sig AS ({_minhash_sig_sql()}),
-            bands AS (
-              SELECT *, unnest([{band_exprs}]) AS band FROM sig
+            WITH {_minhash_ctes()}
+            SELECT doc_a, doc_b, round(est_jaccard, 3) AS est_jaccard FROM scored
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_minhash_ctes()},
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM scored
+              UNION SELECT doc_b, doc_a FROM scored
             ),
-            bexp AS (
-              SELECT doc_id, {', '.join(f'mh_{i}' for i in range(k))},
-                     band[1]::INT AS band_idx, band[2] AS band_hash
-              FROM (SELECT doc_id, {', '.join(f'mh_{i}' for i in range(k))},
-                           unnest([{band_exprs}]) AS band FROM sig)
+            reach(u, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
             )
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   round(({eq_slots}) / {float(k)}, 3) AS est_jaccard
-            FROM bexp a JOIN bexp b
-              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-             AND a.doc_id < b.doc_id
+            SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH d AS ({_NEARDUP_DOCS_SQL}),
+            toks AS (
+              SELECT doc_id, md5(unnest({_TOKS})) AS h FROM d
+            ),
+            bits AS (
+              SELECT doc_id, b, SUM((((strpos('0123456789abcdef', substring(h, b // 4 + 1, 1)) - 1)
+                     >> (b % 4)) & 1) * 2 - 1) AS s
+              FROM toks, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b)
+              GROUP BY 1, 2
+            ),
+            sims AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+              FROM bits GROUP BY doc_id
+            ),
+            blocks AS (
+              SELECT doc_id, simhash, b AS block_idx,
+                     (simhash >> (b * 8)) & 255 AS block_val
+              FROM sims, (SELECT unnest(generate_series(0, 3)) AS b) t
+            )
+            SELECT doc_a, doc_b, hamming::INT AS hamming FROM (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     bit_count(xor(a.simhash, b.simhash)) AS hamming
+              FROM blocks a JOIN blocks b
+                ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+               AND a.doc_id < b.doc_id
+            ) WHERE hamming <= 3
         """,
         "dedup_simhash": f"""
             WITH toks AS (
@@ -872,7 +958,12 @@ def oracle_sql() -> dict[str, str]:
             FROM bits GROUP BY doc_id
         """,
         "dedup_ngram_jaccard": f"""
-            WITH sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES3}) AS sh FROM documents),
+            WITH sh0 AS (SELECT DISTINCT doc_id, unnest({_SHINGLES3}) AS sh FROM documents),
+            sh AS (
+              SELECT doc_id, sh FROM (
+                SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS dfc FROM sh0
+              ) WHERE dfc <= {dedup.NGRAM_MAX_DF}
+            ),
             sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_inter
@@ -1027,23 +1118,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh": f"""
             WITH pw AS (SELECT * FROM {_plane_weights_sql()}),
+            evecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
             bucketed AS (
-              SELECT e.vec_id, e.embedding::DOUBLE[] AS emb,
-                     SUM(CASE WHEN list_inner_product(e.embedding::DOUBLE[], pw.w) > 0
+              SELECT e.vec_id, pw.t,
+                     SUM(CASE WHEN list_inner_product(e.emb, pw.w) > 0
                               THEN (1 << pw.p) ELSE 0 END)::INT AS bucket
-              FROM embeddings e, pw GROUP BY e.vec_id, e.embedding
+              FROM evecs e, pw GROUP BY e.vec_id, e.emb, pw.t
             ),
-            q AS (SELECT vec_id AS query_id, emb AS qe, bucket
-                  FROM bucketed WHERE vec_id < 10),
+            q0 AS (SELECT vec_id AS query_id, t, bucket
+                   FROM bucketed WHERE vec_id < 10),
+            qprobe AS (
+              SELECT query_id, t, bucket FROM q0
+              UNION ALL SELECT query_id, t, xor(bucket, 1) FROM q0
+              UNION ALL SELECT query_id, t, xor(bucket, 2) FROM q0
+            ),
             cand AS (
-              SELECT q.query_id, b.vec_id,
-                     list_cosine_similarity(q.qe, b.emb) AS cosine
-              FROM q JOIN bucketed b USING (bucket)
+              SELECT DISTINCT q.query_id, b.vec_id
+              FROM qprobe q JOIN bucketed b ON q.t = b.t AND q.bucket = b.bucket
+            ),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     list_cosine_similarity(qv.emb, bv.emb) AS cosine
+              FROM cand c
+              JOIN evecs qv ON qv.vec_id = c.query_id
+              JOIN evecs bv ON bv.vec_id = c.vec_id
             ),
             ranked AS (
               SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY cosine DESC, vec_id ASC) AS rank
-              FROM cand
+              FROM scored
             )
             SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank::INT AS rank
             FROM ranked WHERE rank <= 5
@@ -1126,6 +1229,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT sha256(string_agg(CAST(doc_id AS VARCHAR), '_'
                    ORDER BY CAST(doc_id AS VARCHAR))) AS corpus_sha256
             FROM documents
+        """,
+        "corpus_hash_scalable": f"""
+            WITH hv AS (
+              SELECT {_hex_int_sql('h', 1, 8)} AS h1, {_hex_int_sql('h', 9, 8)} AS h2
+              FROM (SELECT md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+            )
+            SELECT sha256(COUNT(*)::VARCHAR || '_' || bit_xor(h1)::VARCHAR
+                   || '_' || bit_xor(h2)::VARCHAR) AS corpus_sha256
+            FROM hv
         """,
         "table_pairing": """
             WITH files AS (

@@ -10,26 +10,38 @@ shuffle-safe.
 
 Scale notes:
 - exact dedup: one groupBy on md5(text) — map-side partial agg.
-- MinHash: explode(shingles) → k mins in ONE groupBy (k agg exprs,
-  single shuffle); LSH banding turns O(n²) pair search into a
-  self-equi-join on (band_idx, band_hash) — the classic shingle→
-  minhash→band→bucket-join pipeline; skewed buckets (boilerplate-heavy
-  shingle sets) are handled by AQE skew-join splitting.
+- MinHash: one md5 per shingle; the K=128 signature is derived by
+  double hashing (Kirsch–Mitzenmacher: h_i = h1 + i·h2 mod 2^32), so
+  the signature costs one hash + K integer ops, all whole-stage
+  codegen. K mins in ONE groupBy (single shuffle); LSH banding (32
+  bands of 4) turns O(n²) pair search into a self-equi-join on
+  (band_idx, band_hash); a band-bucket size cap drops degenerate
+  boilerplate buckets before they explode the join; AQE skew-join
+  handles residual skew.
 - SimHash: explode(token)×explode(bit) — bounded by N_BITS; emits one
-  signature row per doc, pairs found by Hamming-band prefix join.
-- n-gram Jaccard: distinct shingle self-join; candidate pruning by
-  requiring a shared shingle (inner join) keeps the pair space sparse.
+  signature row per doc; pairs found by pigeonhole block join (any
+  pair within Hamming distance < n_blocks shares one identical block).
+- n-gram Jaccard: distinct shingle self-join with a document-frequency
+  cap — shingles appearing in more than max_df docs (boilerplate) are
+  dropped BEFORE the self-join, preventing the df² pair blowup.
+- clusters: union-find over candidate pairs via iterative min-label
+  propagation (converges in O(cluster diameter) rounds; dedup clusters
+  are shallow). At 10^12 docs prefer the alternating large-star/
+  small-star formulation — same join/groupBy primitives.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .tfidf import tokens_col
 
-MINHASH_K = 8  # signature length
-LSH_BAND_SIZE = 2  # 4 bands of 2 — candidates need one identical band
+MINHASH_K = 128  # signature length (production operating point)
+LSH_BAND_SIZE = 4  # 32 bands of 4
+LSH_BUCKET_CAP = 100  # max docs per band bucket before it is dropped
+NGRAM_MAX_DF = 100  # shingle document-frequency cap for the jaccard join
 SIMHASH_BITS = 32
+_MH_MOD = 1 << 32
 
 
 def shingles_col(text_col: str = "text", k: int = 3):
@@ -66,18 +78,41 @@ def minhash_signatures(
     k: int = MINHASH_K,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """One row per doc with columns mh_0..mh_{k-1}: the lexicographic
-    min of md5(f"{i}|{shingle}") over the doc's distinct shingles."""
-    # no distinct: min over a multiset equals min over its set, so the
-    # extra (doc, shingle) dedup shuffle would be pure waste
-    sh = df.select(
+    """One row per doc with ``sig: array<long>`` of length k.
+
+    One md5 per shingle; slot i's hash is the affine combination
+    (h1 + i·h2) mod 2^32 of the digest's first two 32-bit words
+    (double hashing), so K=128 costs K codegen'd integer ops instead
+    of K cryptographic hashes. Min over a multiset equals min over its
+    set, so no (doc, shingle) distinct shuffle is needed."""
+    h = F.md5(F.col("sh"))
+    hashed = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, shingle_words)).alias("sh")
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh_{i}")
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(_MH_MOD)).alias(f"mh_{i}")
         for i in range(k)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    mins = hashed.groupBy(id_col).agg(*aggs)
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def _band_hash(sig: Column, band: int, band_size: int) -> Column:
+    return F.md5(
+        F.concat_ws(
+            "|",
+            *[
+                F.element_at(sig, band * band_size + j + 1).cast("string")
+                for j in range(band_size)
+            ],
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -87,59 +122,118 @@ def minhash_lsh_pairs(
     k: int = MINHASH_K,
     band_size: int = LSH_BAND_SIZE,
     shingle_words: int = 3,
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band, with the
-    minhash-estimated jaccard (fraction of equal signature slots)."""
+    minhash-estimated jaccard (fraction of equal signature slots).
+
+    Band buckets holding more than ``bucket_cap`` docs are dropped
+    before the self-join — a degenerate bucket of size m contributes
+    m² pair rows, and at web scale boilerplate-only pages produce
+    buckets with 10^6+ members. The bands frame carries only (id,
+    band) — signatures are re-joined per *pair*, not per band row, so
+    the 32× band explosion never multiplies the 128-slot payload."""
     sig = minhash_signatures(df, id_col, text_col, k, shingle_words)
+    # persist: consumed by the band explode AND twice by the per-pair
+    # signature re-join; without it the shingle->minhash tree runs 3x.
+    sig = sig.persist()
     n_bands = k // band_size
     bands = sig.select(
         F.col(id_col),
-        *[F.col(f"mh_{i}") for i in range(k)],
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"mh_{b * band_size + j}")
-                                    for j in range(band_size)
-                                ],
-                            )
-                        ).alias("band_hash"),
+                        _band_hash(F.col("sig"), b, band_size).alias("band_hash"),
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("band"),
-    ).select(id_col, *[f"mh_{i}" for i in range(k)], "band.band_idx", "band.band_hash")
-    # The self-join consumes `bands` twice; without persistence Spark
-    # recomputes the whole tokenize->shingle->minhash tree per side.
-    # bands is tiny (n_docs x n_bands short rows), so cache it.
-    bands = bands.persist()
-    a = bands.select(
-        F.col(id_col).alias("doc_a"),
-        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)],
-        "band_idx",
-        "band_hash",
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    bucket_w = Window.partitionBy("band_idx", "band_hash")
+    capped = (
+        bands.withColumn("_bsize", F.count("*").over(bucket_w))
+        .where(F.col("_bsize") <= bucket_cap)
+        .drop("_bsize")
     )
-    b = bands.select(
-        F.col(id_col).alias("doc_b"),
-        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)],
-        "band_idx",
-        "band_hash",
-    )
-    eq_terms = sum(
-        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(k)
-    )
-    return (
+    a = capped.select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
+    b = capped.select(F.col(id_col).alias("doc_b"), "band_idx", "band_hash")
+    pairs = (
         a.join(b, ["band_idx", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", (eq_terms / F.lit(float(k))).alias("est_jaccard"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("_sig_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("_sig_b"))
+    eq_frac = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: x == y),
+                lambda e: e,
+            )
+        )
+        / F.lit(float(k))
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", eq_frac.alias("est_jaccard"))
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every doc appearing in a candidate
+    pair; cluster_id = min doc id reachable through the pair graph.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds (dedup clusters are shallow stars).
+    localCheckpoint truncates the exploding join lineage per round."""
+    edges = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).unionAll(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+    edges = edges.persist()
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 def _bit_of_md5(col, bit: int):
@@ -171,18 +265,85 @@ def simhash(
     return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = SIMHASH_BITS,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole block join: split the signature into n_blocks bit
+    blocks; any pair within Hamming distance < n_blocks must share at
+    least one identical block, so candidates come from an equi-join on
+    (block_idx, block_value) instead of an all-pairs scan. Exact
+    Hamming distance (bit_count of xor) re-ranks candidates.
+    Requires max_hamming < n_blocks for zero false negatives."""
+    sig = simhash(df, id_col, text_col, n_bits)
+    block_bits = n_bits // n_blocks
+    mask = (1 << block_bits) - 1
+    blocks = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.shiftright(F.col("simhash"), b * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select(id_col, "simhash", "blk.block_idx", "blk.block_val")
+    blocks = blocks.persist()
+    a = blocks.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"),
+        "block_idx", "block_val",
+    )
+    b = blocks.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"),
+        "block_idx", "block_val",
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_words: int = 3,
     threshold: float = 0.5,
+    max_df: int = NGRAM_MAX_DF,
 ) -> DataFrame:
     """Exact Jaccard over distinct k-word shingles for every pair
-    sharing at least one shingle; |A∪B| = |A|+|B|-|A∩B|."""
+    sharing at least one shingle; |A∪B| = |A|+|B|-|A∩B|.
+
+    Shingles with document frequency > ``max_df`` are dropped before
+    the self-join (and excluded from set sizes, so the jaccard is over
+    the *discriminative* shingle sets): one boilerplate shingle shared
+    by 10^6 docs would otherwise contribute 10^12 join rows. The df
+    filter is a window count over the shingle key — co-partitioned
+    with the join's own shuffle."""
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, shingle_words)).alias("sh")
     ).distinct()
+    df_w = Window.partitionBy("sh")
+    sh = sh.withColumn("_df", F.count("*").over(df_w)).where(
+        F.col("_df") <= max_df
+    ).drop("_df")
     # consumed three times (self-join sides + sizes): cache the small
     # (id, shingle) frame instead of recomputing the tokenize tree
     sh = sh.persist()

@@ -78,3 +78,29 @@ def corpus_hash_df(df: "DataFrame", id_col: str = "url") -> "DataFrame":
             256,
         ).alias("corpus_sha256")
     )
+
+
+def corpus_hash_scalable(df: "DataFrame", id_col: str = "url") -> "DataFrame":
+    """Scale-safe A5: a commutative digest of the id set — (count,
+    bit_xor of two independent 32-bit md5 words per id) folded into one
+    sha256. Fully map-side-combinable, no sorted collect_list single
+    task; order- and partitioning-independent by construction. Use this
+    (or the Iceberg snapshot id) as the DependentPipeline group
+    identity at scale; ``corpus_hash_df`` stays as the reference-parity
+    form."""
+    h = F.md5(F.col(id_col).cast("string"))
+    hv = df.select(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    return hv.agg(
+        F.sha2(
+            F.concat_ws(
+                "_",
+                F.count("*").cast("string"),
+                F.bit_xor("h1").cast("string"),
+                F.bit_xor("h2").cast("string"),
+            ),
+            256,
+        ).alias("corpus_sha256")
+    )

@@ -17,6 +17,8 @@ n_planes (fewer planes → bigger buckets → higher recall).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -65,21 +67,38 @@ def brute_force_topk(
     )
 
 
-def _plane_weight(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane weight in [-1, 1):
-    derived from md5(f"{plane}:{dim}") — reproducible in SQL."""
-    h = F.md5(F.concat_ws(":", F.lit(plane), F.lit(dim)))
-    v = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
-    return v / F.lit(float(0x80000000)) - 1.0
+def plane_weights(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane weights in [-1, 1) from
+    md5(f"{plane}:{dim}") (table 0; table t>0 prefixes "t{t}:") —
+    reproducible as literals in a SQL oracle."""
+    ws = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            key = f"{p}:{d}" if table == 0 else f"t{table}:{p}:{d}"
+            h = hashlib.md5(key.encode()).hexdigest()
+            row.append(int(h[:8], 16) / float(0x80000000) - 1.0)
+        ws.append(row)
+    return ws
 
 
-def lsh_bucket_col(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
-    """Sign-signature bucket id: bit p = 1 iff dot(vec, plane_p) > 0."""
+def lsh_bucket_col(
+    vec_col: Column, dim: int, n_planes: int = 8, table: int = 0
+) -> Column:
+    """Sign-signature bucket id: bit p = 1 iff dot(vec, plane_p) > 0.
+
+    One `zip_with`+`aggregate` per plane over a literal weight array —
+    n_planes codegen'd loops, independent of dim (the per-dimension
+    unrolled expression tree this replaces blew up codegen at
+    dim=768)."""
+    ws = plane_weights(dim, n_planes, table)
     bits = []
     for p in range(n_planes):
-        dot = sum(
-            vec_col.getItem(d).cast("double") * _plane_weight(p, d)
-            for d in range(dim)
+        warr = F.array(*[F.lit(w) for w in ws[p]])
+        dot = F.aggregate(
+            F.zip_with(vec_col, warr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
         bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     return sum(bits).cast("int")
@@ -91,23 +110,57 @@ def lsh_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 6,
+    n_probes: int = 1,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane
-    bucket (equi-join on bucket), then exact cosine re-rank."""
-    vb = vectors.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), dim, n_planes))
+    bucket in at least one hash table (equi-join on (table, bucket)),
+    then exact cosine re-rank.
+
+    Recall levers (standard LSH):
+    - ``n_tables``: L independent plane sets; a true neighbor is missed
+      only if it misses in ALL tables — miss^L. Costs an L× corpus
+      index explode (rows of (id, table, bucket) — payload stays 1×).
+    - ``n_probes``: each query also probes buckets at Hamming distance
+      1 (single plane bit flipped) within each table — extra recall
+      without growing the index."""
+    v_entries = [
+        F.struct(
+            F.lit(t).alias("_tbl"),
+            lsh_bucket_col(F.col(vec_col), dim, n_planes, table=t).alias("_bkt"),
+        )
+        for t in range(n_tables)
+    ]
+    vb = vectors.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*v_entries)).alias("_e")
+    ).select(id_col, vec_col, "_e._tbl", "_e._bkt")
+    q_entries = []
+    for t in range(n_tables):
+        b0 = lsh_bucket_col(F.col(vec_col), dim, n_planes, table=t)
+        q_entries.append(F.struct(F.lit(t).alias("_tbl"), b0.alias("_bkt")))
+        for p in range(min(n_probes - 1, n_planes)):
+            q_entries.append(
+                F.struct(
+                    F.lit(t).alias("_tbl"),
+                    b0.bitwiseXOR(F.lit(1 << p)).alias("_bkt"),
+                )
+            )
     qb = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        lsh_bucket_col(F.col(vec_col), dim, n_planes).alias("_bucket"),
-    )
-    scored = vb.join(F.broadcast(qb), "_bucket").select(
+        F.explode(F.array(*q_entries)).alias("_e"),
+    ).select(query_id_col, "_qvec", "_e._tbl", "_e._bkt")
+    scored = vb.join(F.broadcast(qb), ["_tbl", "_bkt"]).select(
         F.col(query_id_col),
         F.col(id_col),
         cosine_col(F.col("_qvec"), F.col(vec_col)).alias("cosine"),
     )
+    if n_probes > 1 or n_tables > 1:
+        # a (query, vector) pair can surface via several probe buckets
+        scored = scored.distinct()
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )

@@ -91,6 +91,63 @@ def test_ngram_jaccard_exact_value(spark):
     assert abs(rows[0].jaccard - 0.5) < 1e-12
 
 
+def test_ngram_jaccard_df_cap_prunes_boilerplate(spark):
+    """A shingle shared by every doc (boilerplate) must be dropped by
+    the df cap BEFORE the self-join — here max_df=2 with 3 docs sharing
+    'copyright footer text' leaves no shared shingles, so no pairs."""
+    boiler = "copyright footer text"
+    df = _docs(spark, [f"{boiler} unique alpha", f"{boiler} other beta", f"{boiler} third gamma"])
+    with_cap = dedup.ngram_jaccard_pairs(df, threshold=0.0, max_df=2).collect()
+    without_cap = dedup.ngram_jaccard_pairs(df, threshold=0.0, max_df=1000).collect()
+    assert len(without_cap) == 3  # all pairs share the boilerplate shingle
+    assert len(with_cap) == 0
+
+
+def test_simhash_pairs_finds_identical(spark):
+    df = _docs(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",
+            "completely unrelated terms about spacecraft telemetry systems",
+        ],
+    )
+    rows = dedup.simhash_pairs(df).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in rows] == [(0, 1, 0)]
+
+
+def test_connected_components_clusters(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_minhash_bucket_cap_drops_degenerate_bucket(spark):
+    """With bucket_cap=1 every band bucket is over-full for the
+    identical pair → no candidates survive."""
+    df = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta"])
+    assert len(dedup.minhash_lsh_pairs(df, bucket_cap=1).collect()) == 0
+    assert len(dedup.minhash_lsh_pairs(df, bucket_cap=10).collect()) == 1
+
+
+def test_lsh_topk_multitable_superset_recall(spark):
+    """Identical query vector must always retrieve itself at rank 1."""
+    from neurostore_text_extraction_spark.operators import similarity
+
+    data = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(
+        emb, queries, dim=8, k=3, n_planes=4, n_probes=2, n_tables=4
+    ).collect()
+    top1 = {r.query_id: r.vec_id for r in out if r.rank == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}
+
+
 def test_pick_latest_semver(spark):
     df = spark.createDataFrame(
         [("e", "1.2.0"), ("e", "1.10.0"), ("e", "0.9.9")],
