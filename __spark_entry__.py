@@ -189,6 +189,50 @@ def _q_source_priority(spark, sf):
     )
 
 
+def _q_add_pipeline(spark, sf):
+    """S10 end-to-end: synthesized upstream results table with three
+    semvers ('1.10.1' must beat '1.2.0' numerically) and two configs
+    under the latest version (newest config_date wins); attach =
+    left join, docs with doc_id%10==0 have no result (dangling)."""
+    from neurostore_text_extraction_spark.operators.resolve import add_pipeline
+
+    docs = _t(spark, sf, "documents")
+    covered = docs.where(F.col("doc_id") % 10 != 0)
+
+    def run_rows(ver, cfg, date):
+        return covered.select(
+            F.col("doc_id"),
+            F.lit("word_count").alias("extractor"),
+            F.lit(ver).alias("version"),
+            F.lit(cfg).alias("config_hash"),
+            F.lit(date).cast("date").alias("config_date"),
+            F.concat_ws(
+                "/", F.lit(ver), F.lit(cfg), (F.col("doc_id") * 2).cast("string")
+            ).alias("payload"),
+        )
+
+    results = (
+        run_rows("0.9.9", "old", "2023-01-01")
+        .unionAll(run_rows("1.2.0", "old", "2023-06-01"))
+        .unionAll(run_rows("1.10.1", "abc", "2024-01-01"))
+        .unionAll(run_rows("1.10.1", "def", "2024-06-01"))
+        .unionAll(
+            # decoy rows from another extractor, newest of all
+            run_rows("9.9.9", "zzz", "2025-01-01").withColumn(
+                "extractor", F.lit("other")
+            )
+        )
+    )
+    out = add_pipeline(
+        docs.select("doc_id"),
+        results,
+        extractor="word_count",
+        id_col="doc_id",
+        warn_dangling=False,
+    )
+    return out.select("doc_id", "version", "config_hash", "payload")
+
+
 def _q_latest_order(spark, sf):
     """W3 newest-prior-result pick: latest order per customer."""
     orders = _t(spark, sf, "orders")
@@ -438,6 +482,64 @@ def _q_entity_link(spark, sf):
     )
 
 
+def _q_llm_demographics(spark, sf):
+    """U5 ParticipantDemographics LLM stage with the deterministic stub
+    client: Template prompt + $-escape (F7) + mapInPandas batching +
+    JSON parse + schema validation. The synthesized text includes a
+    literal '$' so the escape path is exercised on every row."""
+    from neurostore_text_extraction_spark.operators.llm_extract import (
+        StubLLMClient,
+        llm_extract,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Cost was $"),
+            (F.col("doc_id") % 9).cast("string"),
+            F.lit(". We enrolled "),
+            (F.col("doc_id") % 50 + 10).cast("string"),
+            F.lit(" patients and "),
+            (F.col("doc_id") % 20 + 5).cast("string"),
+            F.lit(" controls."),
+        ).alias("text"),
+    )
+    out = llm_extract(pages, StubLLMClient, id_col="doc_id")
+    return out.select(
+        "doc_id", F.explode("groups").alias("g"), "valid"
+    ).select("doc_id", "g.group_name", "g.count", "valid")
+
+
+def _q_llm_task(spark, sf):
+    """U6 TaskExtractor: same machinery, task prompt/schema."""
+    from neurostore_text_extraction_spark.operators.llm_extract import (
+        TASK_PROMPT,
+        StubLLMClient,
+        llm_extract,
+    )
+
+    docs = _t(spark, sf, "documents")
+    task = F.element_at(
+        F.array(F.lit("stroop"), F.lit("nback"), F.lit("gonogo"), F.lit("flanker")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Participants performed the "), task, F.lit(" task twice.")
+        ).alias("text"),
+    )
+    out = llm_extract(
+        pages,
+        lambda: StubLLMClient(mode="tasks"),
+        prompt_template=TASK_PROMPT,
+        mode="tasks",
+        id_col="doc_id",
+    )
+    return out.select("doc_id", F.explode("tasks").alias("task"), "valid")
+
+
 _CTX_SOURCE = "We analysed the brain imaging study (BIS) cohort."
 
 
@@ -495,6 +597,63 @@ def _q_demographics(spark, sf):
     return clean_groups(docs, id_col="doc_id")
 
 
+def _q_nested_postprocess(spark, sf):
+    """F6 generic schema-metadata-driven rewrite + validation: the
+    declared schema marks groups[].diagnosis for abbreviation
+    expansion + normalization and groups[].count as required; the
+    rewrite runs entirely in higher-order functions (no UDF except the
+    one Schwartz–Hearst extraction per row)."""
+    from pyspark.sql import types as T
+
+    from neurostore_text_extraction_spark.operators import schemaproc as SP
+
+    schema = T.StructType(
+        [
+            T.StructField(
+                "groups",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("group_name", T.StringType()),
+                            T.StructField(
+                                "diagnosis",
+                                T.StringType(),
+                                metadata={SP.NORMALIZE: True, SP.EXPAND: True},
+                            ),
+                            T.StructField(
+                                "count", T.IntegerType(), metadata={SP.REQUIRED: True}
+                            ),
+                        ]
+                    )
+                ),
+                metadata={SP.REQUIRED: True},
+            )
+        ]
+    )
+    docs = _t(spark, sf, "documents")
+    diagnosis = (
+        F.when(F.col("doc_id") % 3 == 0, "  major depressive disorder ")
+        .when(F.col("doc_id") % 3 == 1, "None")
+        .otherwise("MDD")
+    )
+    count = F.when(F.col("doc_id") % 5 != 0, (F.col("doc_id") % 7).cast("int"))
+    df = docs.select(
+        "doc_id",
+        F.lit("We studied major depressive disorder (MDD) patients.").alias("src"),
+        F.array(
+            F.struct(
+                F.lit("patient").alias("group_name"),
+                diagnosis.alias("diagnosis"),
+                count.alias("count"),
+            )
+        ).alias("groups"),
+    )
+    out = SP.with_validity(SP.apply_schema_postprocess(df, schema, source_col="src"), schema)
+    return out.select("doc_id", F.explode("groups").alias("g"), "valid").select(
+        "doc_id", "g.diagnosis", F.col("g.count").alias("count"), "valid"
+    )
+
+
 def _q_patient_study(spark, sf):
     """U8: any group named 'patient' → bool, via F.exists."""
     from neurostore_text_extraction_spark.operators.demographics import (
@@ -528,6 +687,68 @@ def _q_metrics_normalize(spark, sf):
         M.coerce_boolean(bool_str).alias("bool_val"),
         M.age_range_lo(age_str).alias("age_lo"),
         M.age_range_hi(age_str).alias("age_hi"),
+    )
+
+
+def _eval_pairs(spark, sf):
+    """Synthesized (truth, pred) tables with deterministic error
+    patterns: wrong values, nulls, case/whitespace noise, within- and
+    out-of-tolerance numeric drift."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    truth = d.select(
+        "doc_id",
+        F.lit("Patient Group").alias("group_name"),
+        (did % 30).cast("string").alias("count"),
+        F.when(did % 2 == 0, "Yes").otherwise("no").alias("has_patient"),
+    )
+    pred = d.select(
+        "doc_id",
+        F.when(did % 7 == 0, F.lit(None).cast("string"))
+        .when(did % 5 == 0, "other group")
+        .otherwise("  PATIENT   GROUP ")
+        .alias("group_name"),
+        F.when(did % 6 == 0, F.lit(None).cast("string"))
+        .when(did % 4 == 0, (did % 30 + 2).cast("string"))
+        .when(did % 3 == 0, ((did % 30) + F.lit(0.4)).cast("string"))
+        .otherwise((did % 30).cast("string"))
+        .alias("count"),
+        F.when(did % 11 == 0, "maybe")
+        .when(did % 3 == 0, F.when(did % 2 == 0, "no").otherwise("yes"))
+        .otherwise(F.when(did % 2 == 0, "YES").otherwise("NO"))
+        .alias("has_patient"),
+    )
+    return truth, pred
+
+
+def _q_eval_prf(spark, sf):
+    """Evaluation harness: per-field precision/recall/F1 with F14
+    normalization + numeric tolerance (reference
+    calculate_metrics.py:86-152)."""
+    from neurostore_text_extraction_spark.operators.evaluation import (
+        FieldSpec,
+        field_prf,
+    )
+
+    truth, pred = _eval_pairs(spark, sf)
+    out = field_prf(
+        truth,
+        pred,
+        [
+            FieldSpec("group_name", "text"),
+            FieldSpec("count", "numeric", tolerance=0.5),
+            FieldSpec("has_patient", "bool"),
+        ],
+        id_col="doc_id",
+    )
+    return out.select(
+        "field",
+        "matches",
+        "total_ground_truth",
+        "total_extracted",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
     )
 
 
@@ -666,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "incremental_changed": _q_incremental,
         "source_priority": _q_source_priority,
+        "add_pipeline_latest": _q_add_pipeline,
         "latest_order_per_customer": _q_latest_order,
         "topk_per_group": _q_topk_per_group,
         "pricing_summary": _q_pricing_summary,
@@ -678,9 +900,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_roundtrip": _q_extract_roundtrip,
         "entity_link": _q_entity_link,
         "entity_link_ctx": _q_entity_link_ctx,
+        "llm_demographics": _q_llm_demographics,
+        "llm_task": _q_llm_task,
         "demographics_clean": _q_demographics,
+        "nested_postprocess": _q_nested_postprocess,
         "patient_study": _q_patient_study,
         "metrics_normalize": _q_metrics_normalize,
+        "eval_prf": _q_eval_prf,
         "corpus_hash": _q_corpus_hash,
         "corpus_hash_scalable": _q_corpus_hash_scalable,
         "table_pairing": _q_table_pairing,
@@ -1059,6 +1285,14 @@ def oracle_sql() -> dict[str, str]:
               'D:' || text) AS resolved_text
             FROM documents
         """,
+        "add_pipeline_latest": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 != 0 THEN '1.10.1' END AS version,
+                   CASE WHEN doc_id % 10 != 0 THEN 'def' END AS config_hash,
+                   CASE WHEN doc_id % 10 != 0
+                        THEN '1.10.1/def/' || CAST(doc_id * 2 AS VARCHAR) END AS payload
+            FROM documents
+        """,
         "latest_order_per_customer": """
             SELECT o_custkey, o_orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS o_date
@@ -1189,6 +1423,21 @@ def oracle_sql() -> dict[str, str]:
         "entity_link_ctx": _entity_link_oracle(
             "replace('BIS ' || substring(text, 1, 6), 'BIS', 'brain imaging study')"
         ),
+        "llm_demographics": """
+            SELECT doc_id, 'patients' AS group_name,
+                   (doc_id % 50 + 10)::INT AS count, true AS valid
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'controls', (doc_id % 20 + 5)::INT, true
+            FROM documents
+        """,
+        "llm_task": """
+            SELECT doc_id,
+                   CASE (doc_id % 4) WHEN 0 THEN 'stroop' WHEN 1 THEN 'nback'
+                        WHEN 2 THEN 'gonogo' ELSE 'flanker' END AS task,
+                   true AS valid
+            FROM documents
+        """,
         "demographics_clean": f"""
             WITH g AS (
               SELECT doc_id, unnest(groups, recursive := true) FROM ({_GROUPS_SQL}) t
@@ -1209,6 +1458,14 @@ def oracle_sql() -> dict[str, str]:
               )::INT AS female_count
             FROM g WHERE count IS NOT NULL
         """,
+        "nested_postprocess": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 1 THEN NULL
+                        ELSE 'Major Depressive Disorder' END AS diagnosis,
+                   CASE WHEN doc_id % 5 != 0 THEN (doc_id % 7)::INT END AS count,
+                   (doc_id % 5 != 0) AS valid
+            FROM documents
+        """,
         "patient_study": f"""
             SELECT doc_id,
                    len(list_filter(groups, g -> lower(g.group_name) = 'patient')) > 0
@@ -1224,6 +1481,78 @@ def oracle_sql() -> dict[str, str]:
               (doc_id % 40 + 18)::INT AS age_lo,
               (doc_id % 40 + 25)::INT AS age_hi
             FROM documents
+        """,
+        "eval_prf": r"""
+            WITH pairs AS (
+              SELECT doc_id,
+                'Patient Group' AS t_name,
+                CASE WHEN doc_id % 7 = 0 THEN NULL
+                     WHEN doc_id % 5 = 0 THEN 'other group'
+                     ELSE '  PATIENT   GROUP ' END AS p_name,
+                CAST(doc_id % 30 AS VARCHAR) AS t_count,
+                CASE WHEN doc_id % 6 = 0 THEN NULL
+                     WHEN doc_id % 4 = 0 THEN CAST(doc_id % 30 + 2 AS VARCHAR)
+                     WHEN doc_id % 3 = 0 THEN CAST((doc_id % 30) + 0.4 AS VARCHAR)
+                     ELSE CAST(doc_id % 30 AS VARCHAR) END AS p_count,
+                CASE WHEN doc_id % 2 = 0 THEN 'Yes' ELSE 'no' END AS t_bool,
+                CASE WHEN doc_id % 11 = 0 THEN 'maybe'
+                     WHEN doc_id % 3 = 0 THEN
+                       (CASE WHEN doc_id % 2 = 0 THEN 'no' ELSE 'yes' END)
+                     ELSE (CASE WHEN doc_id % 2 = 0 THEN 'YES' ELSE 'NO' END)
+                END AS p_bool
+              FROM documents
+            ),
+            norm AS (
+              SELECT
+                regexp_replace(lower(trim(t_name)), '\s+', ' ', 'g') AS tn,
+                regexp_replace(lower(trim(p_name)), '\s+', ' ', 'g') AS pn,
+                CAST(nullif(regexp_replace(t_count, '[^0-9.]', '', 'g'), '') AS DOUBLE) AS tc,
+                CAST(nullif(regexp_replace(p_count, '[^0-9.]', '', 'g'), '') AS DOUBLE) AS pc,
+                CASE WHEN lower(trim(t_bool)) IN ('true','yes','y','1') THEN true
+                     WHEN lower(trim(t_bool)) IN ('false','no','n','0') THEN false END AS tb,
+                CASE WHEN lower(trim(p_bool)) IN ('true','yes','y','1') THEN true
+                     WHEN lower(trim(p_bool)) IN ('false','no','n','0') THEN false END AS pb
+              FROM pairs
+            ),
+            counts AS (
+              SELECT 'group_name' AS field,
+                     SUM(CASE WHEN tn IS NOT NULL AND pn IS NOT NULL AND tn = pn
+                              THEN 1 ELSE 0 END)::BIGINT AS matches,
+                     COUNT(tn)::BIGINT AS total_ground_truth,
+                     COUNT(pn)::BIGINT AS total_extracted
+              FROM norm
+              UNION ALL
+              SELECT 'count',
+                     SUM(CASE WHEN tc IS NOT NULL AND pc IS NOT NULL
+                              AND abs(tc - pc) <= 0.5 THEN 1 ELSE 0 END)::BIGINT,
+                     COUNT(tc)::BIGINT, COUNT(pc)::BIGINT
+              FROM norm
+              UNION ALL
+              SELECT 'has_patient',
+                     SUM(CASE WHEN tb IS NOT NULL AND pb IS NOT NULL AND tb = pb
+                              THEN 1 ELSE 0 END)::BIGINT,
+                     COUNT(tb)::BIGINT, COUNT(pb)::BIGINT
+              FROM norm
+            )
+            SELECT field, matches, total_ground_truth, total_extracted,
+                   round(CASE WHEN total_extracted > 0
+                              THEN matches / CAST(total_extracted AS DOUBLE)
+                              ELSE 0.0 END, 6) AS precision,
+                   round(CASE WHEN total_ground_truth > 0
+                              THEN matches / CAST(total_ground_truth AS DOUBLE)
+                              ELSE 0.0 END, 6) AS recall,
+                   round(CASE WHEN (CASE WHEN total_extracted > 0
+                                    THEN matches / CAST(total_extracted AS DOUBLE)
+                                    ELSE 0.0 END
+                              + CASE WHEN total_ground_truth > 0
+                                     THEN matches / CAST(total_ground_truth AS DOUBLE)
+                                     ELSE 0.0 END) > 0
+                         THEN 2 * (matches / CAST(total_extracted AS DOUBLE))
+                                * (matches / CAST(total_ground_truth AS DOUBLE))
+                              / ((matches / CAST(total_extracted AS DOUBLE))
+                                 + (matches / CAST(total_ground_truth AS DOUBLE)))
+                         ELSE 0.0 END, 6) AS f1
+            FROM counts
         """,
         "corpus_hash": """
             SELECT sha256(string_agg(CAST(doc_id AS VARCHAR), '_'

@@ -51,6 +51,77 @@ def pick_latest(
     )
 
 
+def add_pipeline(
+    pages: DataFrame,
+    results: DataFrame,
+    extractor: str,
+    version: str = "latest",
+    config_hash: str = "latest",
+    id_col: str = "url",
+    payload_cols: tuple[str, ...] = ("payload",),
+    warn_dangling: bool = True,
+) -> DataFrame:
+    """S10 end-to-end upstream-pipeline attach (``ns_extract/
+    dataset.py:243-382``): resolve which run of an upstream extractor
+    to read, then left-join its per-study payload into pages.
+
+    ``results`` columns: (id, extractor, version, config_hash,
+    config_date, *payload_cols).
+
+    - ``version="latest"`` picks the max *semver* over the extractor's
+      distinct versions (numeric tuple compare, ``dataset.py:274-296``
+      — '1.10.1' beats '1.2.0').
+    - ``config_hash="latest"`` picks the newest ``config_date`` within
+      the chosen version (``dataset.py:299-331``).
+    Both picks are tiny distinct+limit(1) plans broadcast back — no
+    driver collect, no full-table shuffle.
+    - The attach itself is a left join on the study id; studies with no
+      upstream result keep the pages row with null payload, and (like
+      the reference's per-study warning, ``dataset.py:350-382``) the
+      dangling count is logged when ``warn_dangling``."""
+    r = results.where(F.col("extractor") == extractor)
+    if version == "latest":
+        top_v = (
+            r.select("version")
+            .distinct()
+            .orderBy(semver_key(F.col("version")).desc())
+            .limit(1)
+        )
+        r = r.join(F.broadcast(top_v), "version")
+    else:
+        r = r.where(F.col("version") == version)
+    if config_hash == "latest":
+        top_c = (
+            r.select("config_hash", "config_date")
+            .distinct()
+            .orderBy(F.col("config_date").desc(), F.col("config_hash").desc())
+            .limit(1)
+            .select("config_hash")
+        )
+        r = r.join(F.broadcast(top_c), "config_hash")
+    else:
+        r = r.where(F.col("config_hash") == config_hash)
+    # newest-prior-result guard (W3): one row per study even if a run
+    # was partially rewritten (payload itself is not a sort key — it
+    # may be an array/map type)
+    r = pick_latest(
+        r, [id_col], [F.col("config_date"), F.col("version"), F.col("config_hash")]
+    )
+    attach = r.select(
+        F.col(id_col), F.col("version"), F.col("config_hash"), *payload_cols
+    )
+    joined = pages.join(attach, id_col, "left")
+    if warn_dangling:
+        n = joined.where(F.col(payload_cols[0]).isNull()).count()
+        if n:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "add_pipeline(%s): %d pages have no upstream result", extractor, n
+            )
+    return joined
+
+
 def slice_ids(df: DataFrame, ids: list[str], id_col: str = "url") -> DataFrame:
     """Dataset.slice (``dataset.py:207-211``). For large id sets join a
     broadcast ids frame instead of isin."""
