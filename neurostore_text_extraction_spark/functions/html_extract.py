@@ -66,8 +66,15 @@ _HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
 # --- JATS XML mode (pubget-style inputs, see reference fixtures
 # tests/data/sample_inputs/*/source/pubget/*.xml). The upstream pubget
-# tool strips inline <xref> citation text and renders <sec><title> as
-# "## Heading" lines; we mirror those semantics. ---
+# tool's observed semantics (verified token-by-token against the
+# processed/pubget/text.txt fixtures — token-F1 = 1.000 on all three
+# pubget fixtures, tests/test_fixture_f1.py): extract <body> ONLY
+# (<front> title/abstract and ALL <back> matter — acknowledgements,
+# appendices, supplementary sections, references — are dropped);
+# strip inline <xref> citation text and <sub>/<sup> runs; drop table
+# cells, table-wrap footers (tables are routed to separate CSV files)
+# and fig/table <label>s, but KEEP fig and table-wrap <caption> text;
+# render <sec>/<title> as "## Heading" lines. ---
 _JATS_DROP = frozenset(
     {
         "xref", "ref-list", "journal-meta", "article-id", "contrib-group",
@@ -77,15 +84,15 @@ _JATS_DROP = frozenset(
         "fn-group", "processing-meta", "kwd-group", "counts", "elocation-id",
         "volume", "issue", "fpage", "lpage", "alternatives", "graphic",
         "inline-graphic", "supplementary-material", "ext-link", "uri",
+        "front", "back", "table", "label", "table-wrap-foot", "sub", "sup",
+        "media",
     }
 )
 _JATS_BLOCK = frozenset(
     {
-        "article", "front", "body", "back", "article-meta", "abstract",
-        "sec", "p", "title", "article-title", "table-wrap", "table",
-        "thead", "tbody", "tr", "td", "th", "caption", "label", "fig",
-        "list", "list-item", "disp-quote", "boxed-text", "ack", "app",
-        "app-group", "def-list", "def-item", "term", "def",
+        "article", "body", "sec", "p", "title", "table-wrap",
+        "caption", "fig", "list", "list-item", "disp-quote", "boxed-text",
+        "def-list", "def-item", "term", "def",
     }
 )
 _JATS_HEADING = frozenset({"title", "article-title"})
@@ -150,10 +157,11 @@ class _DomBuilder(HTMLParser):
     tags are implicitly closed. Entities are decoded by html.parser
     (convert_charrefs=True, deterministic)."""
 
-    def __init__(self, drop=_DROP_TAGS, chrome=_CHROME_TAGS) -> None:
+    def __init__(self, drop=_DROP_TAGS, chrome=_CHROME_TAGS, drop_pred=None) -> None:
         super().__init__(convert_charrefs=True)
         self._drop = drop
         self._chrome = chrome
+        self._drop_pred = drop_pred  # optional (tag, attrs_dict) -> bool
         self.root = _Node("#root", {}, None)
         self.cur = self.root
         # stack of open dropped-subtree tag names; non-empty == dropping
@@ -168,7 +176,11 @@ class _DomBuilder(HTMLParser):
             if (tag in self._drop or tag in self._chrome) and tag not in _VOID_TAGS:
                 self._drop_stack.append(tag)
             return
-        if tag in self._drop or tag in self._chrome:
+        if (
+            tag in self._drop
+            or tag in self._chrome
+            or (self._drop_pred is not None and self._drop_pred(tag, dict(attrs)))
+        ):
             if tag not in _VOID_TAGS:  # void drop tags have no subtree
                 self._drop_stack.append(tag)
             return
@@ -399,8 +411,10 @@ def extract_html(
     """Extract main content text and char spans from HTML/JATS bytes.
 
     ``mode``: "html" (boilerplate classify + readability candidate),
-    "jats" (structural: drop xref/front-matter, keep body; pubget-style),
-    or "auto" (sniff via :func:`looks_like_jats`).
+    "jats" (structural: body-only, pubget-parity — token-F1 1.000 vs
+    the reference's processed fixtures), "fullpage" (ACE-parity raw
+    text dump, no boilerplate removal), or "auto" (sniff via
+    :func:`looks_like_jats`).
 
     Returns ``(text, spans)`` where spans are ``(start, end, kind)``
     with ``kind in {"heading", "para"}`` and ``text[start:end]`` the
@@ -414,6 +428,12 @@ def extract_html(
         html = data.decode("latin-1")
     if mode == "jats":
         parser = _DomBuilder(drop=_JATS_DROP, chrome=frozenset())
+    elif mode == "fullpage":
+        # ACE-parity mode: the upstream ACE tool emits a full-page text
+        # dump with NO boilerplate removal (its processed fixtures keep
+        # nav, 'Google Scholar' link farms and site footers). Header/
+        # footer/aside chrome is kept; only non-text tags drop.
+        parser = _DomBuilder(chrome=frozenset())
     else:
         parser = _DomBuilder()
     try:
@@ -425,6 +445,9 @@ def extract_html(
     stopwords = _STOPWORDS_BY_LANG.get((lang or "en")[:2], _STOPWORDS_EN)
     if mode == "jats":
         blocks = _collect_blocks(parser.root, _JATS_BLOCK, _JATS_HEADING)
+        kept = [b for b in blocks if b.n_chars > 0]
+    elif mode == "fullpage":
+        blocks = _collect_blocks(parser.root)
         kept = [b for b in blocks if b.n_chars > 0]
     else:
         blocks = _collect_blocks(parser.root)

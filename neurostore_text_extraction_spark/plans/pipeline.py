@@ -33,7 +33,7 @@ from ..schemas import EXTRACTED_SCHEMA
 from ..sources.catalog import Catalog
 
 EXTRACTOR_NAME = "main_content_extraction"
-EXTRACTOR_VERSION = "1.0.0"  # versioned like the reference's _version (base.py:851)
+EXTRACTOR_VERSION = "1.1.0"  # versioned like the reference's _version (base.py:851)
 
 
 @dataclass

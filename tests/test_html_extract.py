@@ -83,8 +83,10 @@ def test_jats_detection_and_mode():
     assert kind == "jats"
     assert "## Methods" in text
     assert "Smith 2020" not in text  # xref stripped like pubget
-    assert "Dropped Reference" not in text  # ref-list stripped
-    assert "## The Study Title" in text
+    assert "Dropped Reference" not in text  # back matter stripped
+    # pubget extracts <body> only: front-matter title must NOT appear
+    # (verified against processed/pubget/text.txt fixtures)
+    assert "The Study Title" not in text
 
 
 def test_determinism_pure_function():
