@@ -770,6 +770,25 @@ def _q_corpus_hash_scalable(spark, sf):
     return corpus_hash_scalable(_t(spark, sf, "documents"), id_col="doc_id")
 
 
+def _q_identifiers_json(spark, sf):
+    """S2 identifier load: packed identifiers.json string → typed
+    (pmid, pmcid, doi) via native from_json."""
+    from neurostore_text_extraction_spark.sources.catalog import parse_identifiers
+
+    docs = _t(spark, sf, "documents")
+    js = F.concat(
+        F.lit('{"pmid": "'),
+        (F.col("doc_id") + 10000).cast("string"),
+        F.lit('", "pmcid": "PMC'),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit('"}')).otherwise(
+            F.concat(F.lit('", "doi": "10.1000/'), F.col("doc_id").cast("string"), F.lit('"}'))
+        ),
+    )
+    parsed = docs.select("doc_id", parse_identifiers(js).alias("ids"))
+    return parsed.select("doc_id", "ids.pmid", "ids.pmcid", "ids.doi")
+
+
 def _q_table_pairing(spark, sf):
     """S3 pubget table-file pairing by filename stem (groupBy+pivot)."""
     from neurostore_text_extraction_spark.sources.tables import pair_table_files
@@ -853,6 +872,16 @@ def _q_event_sessions(spark, sf):
     )
 
 
+def _q_session_windows(spark, sf):
+    """Gap-based session windows via the built-in F.session_window
+    (batch form of the streaming operator in streaming/sessions.py;
+    session end = last event + gap)."""
+    from neurostore_text_extraction_spark.streaming.sessions import session_counts
+
+    ev = _t(spark, sf, "events")
+    return session_counts(ev, gap="30 minutes", streaming=False)
+
+
 def _q_events_json(spark, sf):
     """JSON field extraction + typed aggregation over the event props
     column (S6 JSON-source analog)."""
@@ -909,10 +938,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_prf": _q_eval_prf,
         "corpus_hash": _q_corpus_hash,
         "corpus_hash_scalable": _q_corpus_hash_scalable,
+        "identifiers_json": _q_identifiers_json,
         "table_pairing": _q_table_pairing,
         "hash_embedding": _q_hash_embedding,
         "blob_metadata": _q_blob_metadata,
         "event_sessions": _q_event_sessions,
+        "session_windows": _q_session_windows,
         "events_json": _q_events_json,
     }
 
@@ -1568,6 +1599,14 @@ def oracle_sql() -> dict[str, str]:
                    || '_' || bit_xor(h2)::VARCHAR) AS corpus_sha256
             FROM hv
         """,
+        "identifiers_json": """
+            SELECT doc_id,
+                   CAST(doc_id + 10000 AS VARCHAR) AS pmid,
+                   'PMC' || CAST(doc_id AS VARCHAR) AS pmcid,
+                   CASE WHEN doc_id % 4 != 0
+                        THEN '10.1000/' || CAST(doc_id AS VARCHAR) END AS doi
+            FROM documents
+        """,
         "table_pairing": """
             WITH files AS (
               SELECT CAST(doc_id AS VARCHAR) AS url,
@@ -1642,6 +1681,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, MAX(session_id)::BIGINT AS n_sessions,
                    round(COUNT(*) / CAST(MAX(session_id) AS DOUBLE), 4) AS events_per_session
             FROM sess GROUP BY user_id
+        """,
+        "session_windows": """
+            WITH gaps AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events
+            ),
+            marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN prev IS NULL
+                               OR date_diff('second', prev, ts) >= 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM gaps
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM marked
+            )
+            SELECT user_id, MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*)::BIGINT AS n_events
+            FROM sess GROUP BY user_id, sid
         """,
         "events_json": """
             SELECT event_type, COUNT(*)::BIGINT AS n,

@@ -132,7 +132,35 @@ _STOPWORDS_EN = frozenset(
     whom why will with would you your""".split()
 )
 
-_STOPWORDS_BY_LANG = {"en": _STOPWORDS_EN}
+_STOPWORDS_ES = frozenset(
+    """de la que el en y a los del se las por un para con no una su al lo
+    como mas pero sus le ya o este si porque esta entre cuando muy sin
+    sobre tambien me hasta hay donde quien desde todo nos durante todos
+    uno les ni contra otros ese eso ante ellos e esto mi antes algunos
+    que unos yo otro otras otra el tanto esa estos mucho quienes nada
+    muchos cual poco ella estar estas algunas algo nosotros""".split()
+)
+_STOPWORDS_DE = frozenset(
+    """der die und in den von zu das mit sich des auf fur ist im dem
+    nicht ein eine als auch es an werden aus er hat dass sie nach wird
+    bei einer um am sind noch wie einem uber einen so zum war haben nur
+    oder aber vor zur bis mehr durch man sein wurde sei""".split()
+)
+_STOPWORDS_FR = frozenset(
+    """de la le et les des en un du une que est pour qui dans a par plus
+    pas au sur ne se ce il sont la avec son ont cette mais ou comme fait
+    ses etait aux ces nous leur sans aussi dont tout ils entre elle deux
+    meme nos tres on notre afin etre avoir cela peut""".split()
+)
+
+# X6 language routing: the page's lang column selects the stopword
+# list used by the X2 block classifier's stopword-density feature.
+_STOPWORDS_BY_LANG = {
+    "en": _STOPWORDS_EN,
+    "es": _STOPWORDS_ES,
+    "de": _STOPWORDS_DE,
+    "fr": _STOPWORDS_FR,
+}
 
 
 @dataclass

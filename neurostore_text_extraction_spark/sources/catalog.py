@@ -52,3 +52,41 @@ class Catalog:
 
     def exists(self, table: str) -> bool:
         return bool(self.snapshots(table))
+
+
+# S8 extension dispatch — typed loader routing by file suffix
+# (reference ``ns_extract/utils.py:147-195``, dispatch at 178-189:
+# .txt → str, .json → dict, .csv → rows via pandas; unsupported
+# extension raises). Spark analogue: route to the typed reader at
+# plan-build time; unsupported extension is an analysis-time error.
+_READERS = {
+    ".txt": lambda spark, path: spark.read.text(path, wholetext=True),
+    ".json": lambda spark, path: spark.read.json(path),
+    ".csv": lambda spark, path: spark.read.csv(path, header=True, inferSchema=False),
+    ".parquet": lambda spark, path: spark.read.parquet(path),
+}
+
+
+def read_typed(spark: SparkSession, path: str) -> DataFrame:
+    """Load a file through the reader its extension declares (S7/S8)."""
+    _, ext = os.path.splitext(path)
+    reader = _READERS.get(ext.lower())
+    if reader is None:
+        raise ValueError(
+            f"unsupported input extension {ext!r} for {path}; "
+            f"supported: {sorted(_READERS)}"
+        )
+    return reader(spark, path)
+
+
+IDENTIFIERS_DDL = "pmid string, pmcid string, doi string"
+
+
+def parse_identifiers(col_or_name):
+    """S2 identifier load: a packed identifiers.json string column →
+    typed (pmid, pmcid, doi) struct (reference ``Study.__post_init__``,
+    ``dataset.py:128-137``). Native from_json — no Python."""
+    from pyspark.sql import Column, functions as F
+
+    col = col_or_name if isinstance(col_or_name, Column) else F.col(col_or_name)
+    return F.from_json(col, IDENTIFIERS_DDL)
