@@ -838,6 +838,89 @@ def _q_blob_metadata(spark, sf):
 
 
 
+# --- webtext corpus-preparation queries ------------------------------------
+
+
+def _synth_urls(spark, sf):
+    """Messy URLs with known canonical forms: uppercase scheme/host,
+    default port, tracking params, fragments, trailing slashes."""
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("WWW.Example"), (did % 50).cast("string"), F.lit(".COM"))
+    suffix = (
+        F.when(did % 4 == 0, F.lit("/?utm_source=x&fbclid=1"))
+        .when(did % 4 == 1, F.concat(F.lit("?id="), did.cast("string"), F.lit("&utm_medium=email")))
+        .when(did % 4 == 2, F.lit("#section2"))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"), host, F.lit(":443/path"), did.cast("string"), suffix
+        ).alias("url"),
+        F.length(F.coalesce("text", F.lit(""))).cast("long").alias("n_bytes"),
+    )
+
+
+def _q_url_canonicalize(spark, sf):
+    """URL canonicalization for crawl-level dedup: scheme/host fold,
+    default-port + fragment strip, tracking-param removal,
+    trailing-slash fold — all native regexp/HOF expressions."""
+    from neurostore_text_extraction_spark.operators.webtext import canonicalize_urls
+
+    return canonicalize_urls(_synth_urls(spark, sf)).select("doc_id", "canonical_url")
+
+
+def _q_domain_stats(spark, sf):
+    from neurostore_text_extraction_spark.operators.webtext import domain_stats
+
+    return domain_stats(_synth_urls(spark, sf), size_col="n_bytes")
+
+
+def _q_pii_scrub(spark, sf):
+    """PII-shaped redaction with audit counts; synthesized contact
+    blurbs so the oracle is closed-form."""
+    from neurostore_text_extraction_spark.operators.webtext import pii_scrub
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    blurb = F.concat(
+        F.lit("Contact user"),
+        did.cast("string"),
+        F.lit("@mail.example.com or call 555-123-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.when(did % 3 == 0, F.lit(" from 192.168.0.1")).otherwise(F.lit("")),
+        F.lit(" today."),
+    )
+    out = pii_scrub(docs.select("doc_id", blurb.alias("text")))
+    return out.select(
+        "doc_id", "scrubbed_text", "n_emails", "n_ssns", "n_ips", "n_phones"
+    )
+
+
+def _q_repetition_features(spark, sf):
+    """C4/Gopher-style repetition quality signals over the documents
+    table (sorted-runs top-word count: O(n log n), no shuffle)."""
+    from neurostore_text_extraction_spark.operators.webtext import (
+        repetition_features,
+    )
+
+    return repetition_features(_t(spark, sf, "documents"))
+
+
+def _q_contamination(spark, sf):
+    """Benchmark decontamination: fraction of each doc's distinct
+    3-word shingles present in a broadcast benchmark set (docs with
+    doc_id % 97 == 0 ARE the benchmark → frac 1.0 for them)."""
+    from neurostore_text_extraction_spark.operators.webtext import (
+        contamination_check,
+    )
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    return contamination_check(docs, bench)
+
+
 def _q_event_sessions(spark, sf):
     """Batch sessionization over the events stream table (the batch
     analog of streaming session windows): a session breaks when a
@@ -942,6 +1025,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_pairing": _q_table_pairing,
         "hash_embedding": _q_hash_embedding,
         "blob_metadata": _q_blob_metadata,
+        "url_canonicalize": _q_url_canonicalize,
+        "domain_stats": _q_domain_stats,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_features": _q_repetition_features,
+        "contamination_check": _q_contamination,
         "event_sessions": _q_event_sessions,
         "session_windows": _q_session_windows,
         "events_json": _q_events_json,
@@ -1658,6 +1746,89 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text))::BIGINT AS n_bytes,
                    sha256(text) AS sha256
             FROM documents WHERE text IS NOT NULL
+        """,
+        "url_canonicalize": """
+            SELECT doc_id,
+                   'https://www.example' || CAST(doc_id % 50 AS VARCHAR)
+                   || '.com/path' || CAST(doc_id AS VARCHAR)
+                   || CASE WHEN doc_id % 4 = 1
+                           THEN '?id=' || CAST(doc_id AS VARCHAR) ELSE '' END
+                   AS canonical_url
+            FROM documents
+        """,
+        "domain_stats": """
+            WITH u AS (
+              SELECT doc_id,
+                     'www.example' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS domain,
+                     length(coalesce(text, '')) AS nb
+              FROM documents
+            )
+            SELECT domain, COUNT(*)::BIGINT AS n_pages,
+                   SUM(nb)::BIGINT AS total_bytes,
+                   round(AVG(nb), 2) AS avg_bytes
+            FROM u GROUP BY domain
+        """,
+        "pii_scrub": """
+            SELECT doc_id,
+                   'Contact <EMAIL> or call <PHONE>'
+                   || CASE WHEN doc_id % 3 = 0 THEN ' from <IP>' ELSE '' END
+                   || ' today.' AS scrubbed_text,
+                   1::INT AS n_emails, 0::INT AS n_ssns,
+                   (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::INT AS n_ips,
+                   1::INT AS n_phones
+            FROM documents
+        """,
+        "repetition_features": r"""
+            WITH w AS (
+              SELECT doc_id,
+                list_sort(regexp_extract_all(lower(coalesce(text, '')), '\w\w+')) AS sw,
+                list_filter(regexp_split_to_array(coalesce(text, ''), '\n'),
+                            l -> trim(l) != '') AS lines
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, sw, lines, len(sw) AS nw, len(lines) AS nl,
+                CASE WHEN len(sw) > 0 THEN
+                  list_filter(generate_series(1, len(sw)),
+                              i -> i = 1 OR sw[i] != sw[greatest(i - 1, 1)])
+                ELSE []::BIGINT[] END AS starts
+              FROM w
+            ),
+            r AS (
+              SELECT doc_id, nw, nl, lines,
+                CASE WHEN len(starts) > 0 THEN
+                  list_max(list_transform(generate_series(1, len(starts)),
+                           j -> coalesce(starts[j + 1], nw + 1) - starts[j]))
+                ELSE 0 END AS topc
+              FROM m
+            )
+            SELECT doc_id,
+              round(CASE WHEN nl > 0
+                    THEN (nl - len(list_distinct(lines))) / nl::DOUBLE
+                    ELSE 0 END, 4) AS dup_line_frac,
+              round(CASE WHEN nw > 0 THEN topc / nw::DOUBLE ELSE 0 END, 4)
+                AS top_word_frac,
+              round(CASE WHEN nl > 0
+                    THEN list_sum(list_transform(lines, l -> length(l))) / nl::DOUBLE
+                    ELSE 0 END, 4) AS mean_line_len,
+              nl::INT AS n_lines
+            FROM r
+        """,
+        "contamination_check": f"""
+            WITH doc_sh AS (
+              SELECT DISTINCT doc_id, unnest({_SHINGLES3}) AS sh FROM documents
+            ),
+            bench AS (
+              SELECT DISTINCT unnest({_SHINGLES3}) AS sh FROM documents
+              WHERE doc_id % 97 = 0
+            )
+            SELECT d.doc_id, COUNT(*)::BIGINT AS n_shingles,
+                   SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_contaminated,
+                   round(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+                         / COUNT(*)::DOUBLE, 6) AS contamination_frac
+            FROM doc_sh d LEFT JOIN bench b ON d.sh = b.sh
+            GROUP BY d.doc_id
         """,
         "event_sessions": """
             WITH gaps AS (

@@ -91,29 +91,53 @@ def normalize_string_col(col: Column) -> Column:
     ).otherwise(joined)
 
 
-def dedup_abbreviations_col(abbrevs: Column) -> Column:
+_ABBREV_DDL = (
+    "array<struct<short_text:string,short_start:int,short_end:int,"
+    "long_text:string,long_start:int,long_end:int>>"
+)
+
+
+def _empty_abbrevs() -> Column:
+    return F.array().cast(_ABBREV_DDL)
+
+
+def dedup_abbreviations_col(abbrevs: Column, seed: Column | None = None) -> Column:
     """Keep the first-listed entry per short form (the reference's
     'first long form wins', ``normalize.py:100-144``) — an aggregate
-    fold appending only unseen short forms. slice(…, 1, 0) seeds a
-    correctly-typed empty array."""
+    fold appending only unseen short forms. Default seed is
+    ``slice(abbrevs, 1, 0)`` (an empty array of the INPUT's exact
+    struct type, whatever its integer widths); pass an explicit typed
+    seed to keep ``abbrevs`` referenced exactly once."""
     return F.aggregate(
         abbrevs,
-        F.slice(abbrevs, 1, 0),
+        seed if seed is not None else F.slice(abbrevs, 1, 0),
         lambda acc, ab: F.when(
             F.exists(acc, lambda p: p["short_text"] == ab["short_text"]), acc
         ).otherwise(F.concat(acc, F.array(ab))),
     )
 
 
-def expand_abbreviations_col(target: Column, abbrevs: Column) -> Column:
+def expand_abbreviations_col(
+    target: Column, abbrevs: Column, prepared: bool = False
+) -> Column:
     """F3 ``resolve_abbreviations`` natively: fold the (deduped)
     abbreviation list over the target with ``replace`` — every
     occurrence of each short form becomes its long form; absent short
-    forms are no-ops, exactly like the reference's str.replace loop."""
-    safe = F.coalesce(abbrevs, F.slice(abbrevs, 1, 0))
+    forms are no-ops, exactly like the reference's str.replace loop.
+
+    ``prepared=True`` promises the column is already non-null and
+    deduped (see :func:`apply_schema_postprocess`) and folds it with a
+    SINGLE column reference — otherwise CollapseProject would inline
+    an upstream UDF once per sub-expression reference."""
+    if prepared:
+        return F.aggregate(
+            abbrevs,
+            target,
+            lambda acc, ab: F.replace(acc, ab["short_text"], ab["long_text"]),
+        )
     return F.when(abbrevs.isNull(), target).otherwise(
         F.aggregate(
-            dedup_abbreviations_col(safe),
+            dedup_abbreviations_col(F.coalesce(abbrevs, F.slice(abbrevs, 1, 0))),
             target,
             lambda acc, ab: F.replace(acc, ab["short_text"], ab["long_text"]),
         )
@@ -123,11 +147,17 @@ def expand_abbreviations_col(target: Column, abbrevs: Column) -> Column:
 # --- the generic rewrite ------------------------------------------------------
 
 
-def _rewrite(col: Column, dtype: T.DataType, meta: dict, abbrevs: Column | None) -> Column:
+def _rewrite(
+    col: Column,
+    dtype: T.DataType,
+    meta: dict,
+    abbrevs: Column | None,
+    prepared: bool = False,
+) -> Column:
     if isinstance(dtype, T.StringType):
         out = col
         if meta.get(EXPAND) and abbrevs is not None:
-            out = expand_abbreviations_col(out, abbrevs)
+            out = expand_abbreviations_col(out, abbrevs, prepared=prepared)
         if meta.get(NORMALIZE):
             out = normalize_string_col(out)
         return out
@@ -137,11 +167,14 @@ def _rewrite(col: Column, dtype: T.DataType, meta: dict, abbrevs: Column | None)
             fmeta = f.metadata or {}
             if _has_marks(f.dataType, fmeta):
                 out = out.withField(
-                    f.name, _rewrite(out.getField(f.name), f.dataType, fmeta, abbrevs)
+                    f.name,
+                    _rewrite(out.getField(f.name), f.dataType, fmeta, abbrevs, prepared),
                 )
         return out
     if isinstance(dtype, T.ArrayType):
-        return F.transform(col, lambda x: _rewrite(x, dtype.elementType, meta, abbrevs))
+        return F.transform(
+            col, lambda x: _rewrite(x, dtype.elementType, meta, abbrevs, prepared)
+        )
     return col
 
 
@@ -165,13 +198,22 @@ def apply_schema_postprocess(
     if needs_expand and source_col is not None:
         from .postprocess import extract_abbreviations_udf
 
-        df = df.withColumn(tmp, extract_abbreviations_udf(F.col(source_col)))
+        # prepared once: non-null + deduped, so every marked leaf folds
+        # it with a single column reference (one UDF eval per leaf even
+        # after CollapseProject inlining)
+        raw = F.coalesce(
+            extract_abbreviations_udf(F.col(source_col)), _empty_abbrevs()
+        )
+        df = df.withColumn(
+            tmp, dedup_abbreviations_col(raw, seed=_empty_abbrevs())
+        )
         abbrevs = F.col(tmp)
     for f in schema.fields:
         fmeta = f.metadata or {}
         if f.name in df.columns and _has_marks(f.dataType, fmeta):
             df = df.withColumn(
-                f.name, _rewrite(F.col(f.name), f.dataType, fmeta, abbrevs)
+                f.name,
+                _rewrite(F.col(f.name), f.dataType, fmeta, abbrevs, prepared=True),
             )
     if needs_expand and source_col is not None:
         df = df.drop(tmp)

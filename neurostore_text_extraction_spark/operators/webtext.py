@@ -1,0 +1,226 @@
+"""Web-text corpus-preparation operators (task brief: "the operations
+a large-scale training-data pipeline would need", webtext axis).
+
+All native column expressions — no UDFs, every operator whole-stage
+codegen'd and SQL-oracle-able:
+
+- URL canonicalization: scheme/host lowercase, default-port and
+  fragment strip, tracking-parameter removal, trailing-slash fold —
+  the key for URL-level dedup of a crawl.
+- Domain stats: per-registrable-host page counts and size profiles
+  (broadcast-friendly dimension for crawl triage).
+- PII scrubbing: email / phone / IP / SSN-shaped redaction with typed
+  placeholders, plus match counts for audit.
+- Repetition features (C4/Gopher-style quality signals): duplicate
+  line fraction, most-common-word dominance, character-level
+  line-repetition ratio.
+- Benchmark contamination: fraction of a doc's word n-grams that
+  appear in a (broadcast) benchmark shingle set — the standard
+  decontamination test before training.
+
+Scale notes: everything is either a narrow map or a single
+groupBy/broadcast-join; the contamination join broadcasts the
+benchmark set (benchmarks are MBs, corpora are TBs) so the corpus
+scan stays shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "ref", "mc_cid", "mc_eid",
+)
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonical form: lowercase scheme+host, strip fragment, strip
+    default :80/:443 ports, drop tracking query params (empty query
+    removed), fold trailing slash on a bare path."""
+    # split off fragment first
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    path_q = F.regexp_replace(rest, r"^[^/?]*", "")
+    host = F.lower(F.regexp_replace(hostport, r":(80|443)$", ""))
+    path = F.regexp_extract(path_q, r"^([^?]*)", 1)
+    query = F.regexp_extract(path_q, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda kv: (kv != "")
+        & ~F.lower(F.regexp_extract(kv, r"^([^=]*)", 1)).isin(*TRACKING_PARAMS),
+    )
+    canon_query = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    folded = F.when(
+        (F.length(path) > 1) & path.endswith("/") & (canon_query == ""),
+        path.substr(F.lit(1), F.length(path) - 1),
+    ).otherwise(F.when(path == "", F.lit("/")).otherwise(path))
+    return F.concat(scheme, F.lit("://"), host, folded, canon_query)
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    return df.withColumn("canonical_url", canonical_url_col(F.col(url_col)))
+
+
+def domain_col(url: Column) -> Column:
+    """Lowercased host of a URL."""
+    return F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)
+    )
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", size_col: str | None = None
+) -> DataFrame:
+    """Pages + size profile per host: the crawl-triage dimension table
+    (single groupBy, map-side combinable)."""
+    base = df.select(domain_col(F.col(url_col)).alias("domain"),
+                     *( [F.col(size_col).alias("_sz")] if size_col else [] ))
+    aggs = [F.count("*").cast("long").alias("n_pages")]
+    if size_col:
+        aggs += [
+            F.sum("_sz").cast("long").alias("total_bytes"),
+            F.round(F.avg("_sz"), 2).alias("avg_bytes"),
+        ]
+    return base.groupBy("domain").agg(*aggs)
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}"
+_IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII-shaped spans with typed placeholders and count the
+    redactions per kind (audit columns). Order matters: emails before
+    phones (digits in domains are rare, but phone patterns can eat
+    SSN-shaped spans — SSN runs first among numerics)."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0)))
+    after_email = F.regexp_replace(t, _EMAIL_RE, "<EMAIL>")
+    n_ssn = F.size(F.regexp_extract_all(after_email, F.lit(_SSN_RE), F.lit(0)))
+    after_ssn = F.regexp_replace(after_email, _SSN_RE, "<SSN>")
+    n_ip = F.size(F.regexp_extract_all(after_ssn, F.lit(_IP_RE), F.lit(0)))
+    after_ip = F.regexp_replace(after_ssn, _IP_RE, "<IP>")
+    n_phone = F.size(F.regexp_extract_all(after_ip, F.lit(_PHONE_RE), F.lit(0)))
+    after_phone = F.regexp_replace(after_ip, _PHONE_RE, "<PHONE>")
+    return df.withColumns(
+        {
+            "scrubbed_text": after_phone,
+            "n_emails": n_email.cast("int"),
+            "n_ssns": n_ssn.cast("int"),
+            "n_ips": n_ip.cast("int"),
+            "n_phones": n_phone.cast("int"),
+        }
+    )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4/Gopher-style repetition signals per doc:
+
+    - dup_line_frac: fraction of non-empty lines that are duplicates
+      of an earlier line;
+    - top_word_frac: share of the most frequent (lowercased, >=2-char)
+      word among all words — boilerplate/spam indicator;
+    - mean_line_len: characters per non-empty line.
+    All computed with higher-order functions over the split arrays —
+    no shuffle, no UDF."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    dup_line_frac = F.when(
+        n_lines > 0, (n_lines - n_distinct_lines) / n_lines.cast("double")
+    ).otherwise(0.0)
+    words = F.expr(f"regexp_extract_all(lower({text_col}), r'\\w\\w+', 0)")
+    words = F.when(F.col(text_col).isNull(), F.array().cast("array<string>")).otherwise(words)
+    n_words = F.size(words)
+    # most-frequent-word count as the max run length in the SORTED word
+    # array — O(n log n), not the naive O(n·vocab) per-word scan:
+    # run starts = positions where the sorted value changes; run length
+    # = distance to the next start.
+    sorted_w = F.array_sort(words)
+    empty_i = F.array().cast("array<int>")
+    # sequence(1, 0) yields [1, 0] (implicit -1 step) — guard empties
+    idx = F.when(n_words > 0, F.sequence(F.lit(1), n_words)).otherwise(empty_i)
+    starts = F.filter(
+        idx,
+        lambda i: (i == 1)
+        # greatest() keeps the index >= 1 even on the i==1 branch (no
+        # short-circuit in SQL; index 0 would throw under ANSI mode)
+        | (F.element_at(sorted_w, i) != F.element_at(sorted_w, F.greatest(i - 1, F.lit(1)))),
+    )
+    n_starts = F.size(starts)
+    runs = F.transform(
+        F.when(n_starts > 0, F.sequence(F.lit(1), n_starts)).otherwise(empty_i),
+        # try_element_at: index n_starts+1 is deliberately out of range
+        # (the final run extends to the end) — ANSI-safe null, not error
+        lambda j: F.coalesce(F.try_element_at(starts, j + 1), n_words + 1)
+        - F.element_at(starts, j),
+    )
+    top_count = F.coalesce(F.array_max(runs), F.lit(0))
+    top_word_frac = F.when(
+        n_words > 0, top_count / n_words.cast("double")
+    ).otherwise(0.0)
+    total_line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    mean_line_len = F.when(
+        n_lines > 0, total_line_chars / n_lines.cast("double")
+    ).otherwise(0.0)
+    return df.select(
+        F.col(id_col),
+        F.round(dup_line_frac, 4).alias("dup_line_frac"),
+        F.round(top_word_frac, 4).alias("top_word_frac"),
+        F.round(mean_line_len, 4).alias("mean_line_len"),
+        n_lines.cast("int").alias("n_lines"),
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Per-doc fraction of distinct word shingles appearing in the
+    benchmark set's shingles (decontamination score; docs above a
+    threshold get dropped before training).
+
+    The benchmark side collapses to a distinct-shingle frame and is
+    broadcast — the corpus scan stays shuffle-free; the per-doc
+    aggregation is a groupBy on the doc id (count + conditional count,
+    map-side combinable)."""
+    from .dedup import shingles_col
+
+    doc_sh = df.select(
+        F.col(id_col), F.explode(shingles_col(text_col, shingle_words)).alias("sh")
+    ).distinct()
+    bench_sh = (
+        benchmark.select(
+            F.explode(shingles_col(bench_text_col, shingle_words)).alias("sh")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = doc_sh.join(F.broadcast(bench_sh), "sh", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.round(F.col("n_contaminated") / F.col("n_shingles").cast("double"), 6),
+        )
+    )

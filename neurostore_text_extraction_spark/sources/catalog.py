@@ -53,6 +53,53 @@ class Catalog:
     def exists(self, table: str) -> bool:
         return bool(self.snapshots(table))
 
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        key_cols: list[str],
+        order_col: str | None = None,
+    ) -> str | None:
+        """MERGE-style compaction: collapse the snapshot history to the
+        latest row per key (last snapshot wins; within-snapshot ties
+        broken by ``order_col`` desc) written as ONE new snapshot, then
+        drop the old snapshots. Bounds manifest growth for long-lived
+        incremental pipelines — without it the anti-join's right side
+        grows with every run.
+
+        Single-writer protocol (like the append path): the new snapshot
+        is committed atomically by rename before the old ones are
+        removed, so a crash mid-compact leaves duplicated-but-correct
+        history (readers dedupe by the same latest-wins rule), never
+        lost rows."""
+        import shutil
+
+        from pyspark.sql import Window, functions as F
+
+        snaps = self.snapshots(table)
+        if len(snaps) <= 1:
+            return None
+        parts = [
+            spark.read.parquet(s).withColumn("_snap_seq", F.lit(i))
+            for i, s in enumerate(snaps)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        order = [F.col("_snap_seq").desc()]
+        if order_col is not None:
+            order.append(F.col(order_col).desc())
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        latest = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_snap_seq")
+        )
+        dest = self.append(latest, table)
+        for s in snaps:
+            shutil.rmtree(s, ignore_errors=True)
+        return dest
+
 
 # S8 extension dispatch — typed loader routing by file suffix
 # (reference ``ns_extract/utils.py:147-195``, dispatch at 178-189:

@@ -153,3 +153,38 @@ def test_error_isolation_in_pipeline(spark, tmp_path):
     res = read_results(spark, store)
     assert res.filter("valid").count() == 1
     assert res.filter("not valid").count() == 1
+
+
+def test_manifest_compaction(spark, corpus, tmp_path):
+    """Catalog.compact collapses the snapshot history to latest-per-key
+    in ONE snapshot; resume semantics (skip-on-no-change) survive it."""
+    from pyspark.sql import functions as F
+
+    from neurostore_text_extraction_spark.sources.catalog import Catalog
+
+    store = str(tmp_path / "store")
+    pages = pages_view(corpus)
+    run_extraction(spark, pages, store, num_partitions=8)
+    # second run over a changed subset -> second manifest snapshot
+    changed = pages.withColumn(
+        "html",
+        F.when(
+            F.xxhash64("url") % 17 == 0,
+            F.concat(F.col("html"), F.lit(b"<!-- v2 -->")),
+        ).otherwise(F.col("html")),
+    )
+    assert pages.where(F.xxhash64("url") % 17 == 0).count() > 0
+    run_extraction(spark, changed, store, num_partitions=8)
+    cat = Catalog(store)
+    assert len(cat.snapshots("manifest")) == 2
+    before = cat.read(spark, "manifest")
+    n_keys = before.select("url").distinct().count()
+
+    cat.compact(spark, "manifest", key_cols=["url"], order_col="date")
+    assert len(cat.snapshots("manifest")) == 1
+    after = cat.read(spark, "manifest")
+    assert after.count() == n_keys  # one latest row per url
+    # the compacted manifest still memoizes: re-run of the changed
+    # corpus is a whole-run cache hit
+    r3 = run_extraction(spark, changed, store, num_partitions=8)
+    assert r3.skipped

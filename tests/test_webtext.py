@@ -1,0 +1,83 @@
+"""Webtext corpus-preparation operator tests — hand-computed values."""
+
+from pyspark.sql import functions as F
+
+from neurostore_text_extraction_spark.operators import webtext as W
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_canonical_url(spark):
+    cases = {
+        "HTTPS://WWW.Ex.COM:443/A/b?utm_source=x&id=5#frag": "https://www.ex.com/A/b?id=5",
+        "http://Ex.COM:80/": "http://ex.com/",
+        "http://ex.com": "http://ex.com/",
+        "http://ex.com/path/": "http://ex.com/path",
+        "http://ex.com/path/?gclid=z": "http://ex.com/path",
+        "http://ex.com:8080/x": "http://ex.com:8080/x",  # non-default port kept
+        "https://ex.com/a?ref=tw&q=1&fbclid=9": "https://ex.com/a?q=1",
+    }
+    df = _df(spark, [(u,) for u in cases], "url string")
+    got = {
+        r.url: r.canonical_url for r in W.canonicalize_urls(df).collect()
+    }
+    for u, want in cases.items():
+        assert got[u] == want, u
+
+
+def test_domain_stats(spark):
+    df = _df(
+        spark,
+        [("http://A.com/1", 10), ("http://a.com/2", 20), ("http://b.com/", 5)],
+        "url string, sz long",
+    )
+    got = {r.domain: (r.n_pages, r.total_bytes, r.avg_bytes)
+           for r in W.domain_stats(df, size_col="sz").collect()}
+    assert got == {"a.com": (2, 30, 15.0), "b.com": (1, 5, 5.0)}
+
+
+def test_pii_scrub(spark):
+    df = _df(
+        spark,
+        [(1, "Mail bob@x.org, SSN 123-45-6789, ip 10.0.0.2, call +1 (212) 555-0142 now")],
+        "doc_id long, text string",
+    )
+    r = W.pii_scrub(df).first()
+    assert r.scrubbed_text == "Mail <EMAIL>, SSN <SSN>, ip <IP>, call <PHONE> now"
+    assert (r.n_emails, r.n_ssns, r.n_ips, r.n_phones) == (1, 1, 1, 1)
+
+
+def test_repetition_features(spark):
+    text = "aa bb aa\naa bb aa\nunique line three\n\n"
+    # lines (non-empty): 3, duplicates: 1 -> dup_line_frac = 1/3
+    # words: [aa,bb,aa,aa,bb,aa,unique,line,three] -> 9 words, top 'aa' x4
+    df = _df(spark, [(1, text), (2, ""), (3, None)], "doc_id long, text string")
+    got = {r.doc_id: r for r in W.repetition_features(df).collect()}
+    r = got[1]
+    assert r.n_lines == 3
+    assert abs(r.dup_line_frac - 1 / 3) < 1e-3
+    assert abs(r.top_word_frac - 4 / 9) < 1e-3
+    assert abs(r.mean_line_len - (8 + 8 + 17) / 3) < 1e-3
+    for d in (2, 3):
+        assert got[d].n_lines == 0
+        assert got[d].top_word_frac == 0.0
+
+
+def test_contamination_check(spark):
+    docs = _df(
+        spark,
+        [
+            (1, "the quick brown fox jumps"),  # shares shingles with bench
+            (2, "totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = _df(spark, [("the quick brown fox leaps",)], "text string")
+    got = {r.doc_id: r for r in W.contamination_check(docs, bench).collect()}
+    # doc1 shingles: {the quick brown, quick brown fox, brown fox jumps};
+    # bench: {the quick brown, quick brown fox, brown fox leaps} -> 2/3
+    assert got[1].n_shingles == 3 and got[1].n_contaminated == 2
+    assert abs(got[1].contamination_frac - 2 / 3) < 1e-6
+    assert got[2].n_contaminated == 0
