@@ -106,6 +106,16 @@ def main() -> None:
         "ann_bruteforce",
         "ann_lsh",
         "extract_roundtrip",
+        # round-2 operators
+        "entity_link",
+        "llm_demographics",
+        "repetition_features",
+        "contamination_check",
+        "url_canonicalize",
+        "pii_scrub",
+        "eval_prf",
+        "dedup_clusters",
+        "session_windows",
     ]
     if not RUN_QUERIES:
         bench_queries = []

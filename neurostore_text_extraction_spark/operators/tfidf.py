@@ -51,11 +51,18 @@ def tfidf(
     text_col: str = "text",
     min_df: int = 1,
     vocabulary: list[str] | None = None,
+    max_vocab: int | None = None,
 ) -> DataFrame:
     """(doc, term, tfidf) rows, l2-normalized per doc — the exploded
     form of the reference's per-doc ``{term: score}`` map. Collect back
     with ``map_from_entries(collect_list(...))`` if map shape is needed.
-    """
+
+    The idf table is broadcast back onto the per-doc counts; at corpus
+    scale an unbounded vocabulary would blow the broadcast, so cap it:
+    ``min_df`` floors document frequency (sklearn semantics) and
+    ``max_vocab`` keeps only the top-V terms by df (desc, term asc
+    tie-break — a global TakeOrdered, no full sort). sklearn's
+    ``max_features`` has the same contract."""
     n_docs = df.select(id_col).distinct().count()  # scalar; one cheap job
     tf = (
         df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
@@ -68,6 +75,8 @@ def tfidf(
             [(v,) for v in vocabulary], "term string"
         )
         dfreq = dfreq.join(F.broadcast(vocab_df), "term", "inner")
+    if max_vocab is not None:
+        dfreq = dfreq.orderBy(F.col("df").desc(), F.col("term").asc()).limit(max_vocab)
     idf = dfreq.select(
         "term",
         (F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))) + 1.0)

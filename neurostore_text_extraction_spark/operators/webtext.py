@@ -142,30 +142,31 @@ def repetition_features(
     words = F.expr(f"regexp_extract_all(lower({text_col}), r'\\w\\w+', 0)")
     words = F.when(F.col(text_col).isNull(), F.array().cast("array<string>")).otherwise(words)
     n_words = F.size(words)
-    # most-frequent-word count as the max run length in the SORTED word
-    # array — O(n log n), not the naive O(n·vocab) per-word scan:
-    # run starts = positions where the sorted value changes; run length
-    # = distance to the next start.
-    sorted_w = F.array_sort(words)
-    empty_i = F.array().cast("array<int>")
-    # sequence(1, 0) yields [1, 0] (implicit -1 step) — guard empties
-    idx = F.when(n_words > 0, F.sequence(F.lit(1), n_words)).otherwise(empty_i)
-    starts = F.filter(
-        idx,
-        lambda i: (i == 1)
-        # greatest() keeps the index >= 1 even on the i==1 branch (no
-        # short-circuit in SQL; index 0 would throw under ANSI mode)
-        | (F.element_at(sorted_w, i) != F.element_at(sorted_w, F.greatest(i - 1, F.lit(1)))),
+    # most-frequent-word count = max run length in the SORTED word
+    # array, computed as ONE linear aggregate fold with (prev, run,
+    # best) state — O(n log n) total. (An index-lambda formulation
+    # re-evaluates captured outer expressions like array_sort PER
+    # ELEMENT — quadratic; measured as a multi-minute hang on 10 KB
+    # docs.)
+    run_state = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
     )
-    n_starts = F.size(starts)
-    runs = F.transform(
-        F.when(n_starts > 0, F.sequence(F.lit(1), n_starts)).otherwise(empty_i),
-        # try_element_at: index n_starts+1 is deliberately out of range
-        # (the final run extends to the end) — ANSI-safe null, not error
-        lambda j: F.coalesce(F.try_element_at(starts, j + 1), n_words + 1)
-        - F.element_at(starts, j),
+
+    def _fold(acc, x):
+        run = F.when(
+            acc["prev"].isNull() | (x != acc["prev"]), F.lit(1).cast("long")
+        ).otherwise(acc["run"] + 1)
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_count = F.aggregate(
+        F.array_sort(words), run_state, _fold, lambda acc: acc["best"]
     )
-    top_count = F.coalesce(F.array_max(runs), F.lit(0))
     top_word_frac = F.when(
         n_words > 0, top_count / n_words.cast("double")
     ).otherwise(0.0)

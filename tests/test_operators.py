@@ -61,6 +61,14 @@ def test_tfidf_vocabulary_restriction(spark):
     assert {r.term for r in rows} == {"aa", "dd"}
 
 
+def test_tfidf_max_vocab_caps_broadcast(spark):
+    """max_vocab keeps the top-V terms by df (desc, term asc) — the
+    broadcast-size guard for corpus-scale vocabularies."""
+    df = _docs(spark, ["aa bb cc", "aa bb dd", "aa ee ff"])
+    rows = tfidf.tfidf(df, min_df=1, max_vocab=2).collect()
+    assert {r.term for r in rows} == {"aa", "bb"}  # df 3 and 2
+
+
 def test_exact_duplicates(spark):
     df = _docs(spark, ["same text here", "same text here", "different"])
     rows = {r.text_md5: (r.n_docs, r.representative) for r in dedup.exact_duplicates(df).collect()}
