@@ -233,6 +233,34 @@ def _q_add_pipeline(spark, sf):
     return out.select("doc_id", "version", "config_hash", "payload")
 
 
+def _q_source_attach(spark, sf):
+    """S4 processed-source attach + S9 resolution through the real
+    resolve_sources API: nullable per-source struct columns
+    (pubget/ace/db), dot-path field access, coalesce priority."""
+    from neurostore_text_extraction_spark.operators.resolve import resolve_sources
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    attached = docs.select(
+        "doc_id",
+        F.when(
+            did % 3 != 0,
+            F.struct(F.concat(F.lit("P:"), F.col("text")).alias("text")),
+        ).alias("pubget"),
+        F.when(
+            did % 2 != 0,
+            F.struct(F.concat(F.lit("A:"), F.col("text")).alias("text")),
+        ).alias("ace"),
+        F.struct(F.concat(F.lit("D:"), F.col("text")).alias("text")).alias("db"),
+    )
+    return attached.select(
+        "doc_id",
+        resolve_sources(attached, "text", ("pubget", "ace", "db")).alias(
+            "resolved_text"
+        ),
+    )
+
+
 def _q_latest_order(spark, sf):
     """W3 newest-prior-result pick: latest order per customer."""
     orders = _t(spark, sf, "orders")
@@ -999,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "incremental_changed": _q_incremental,
         "source_priority": _q_source_priority,
+        "source_attach": _q_source_attach,
         "add_pipeline_latest": _q_add_pipeline,
         "latest_order_per_customer": _q_latest_order,
         "topk_per_group": _q_topk_per_group,
@@ -1410,6 +1439,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 10 != 0 THEN 'def' END AS config_hash,
                    CASE WHEN doc_id % 10 != 0
                         THEN '1.10.1/def/' || CAST(doc_id * 2 AS VARCHAR) END AS payload
+            FROM documents
+        """,
+        "source_attach": """
+            SELECT doc_id, coalesce(
+              CASE WHEN doc_id % 3 != 0 THEN 'P:' || text END,
+              CASE WHEN doc_id % 2 != 0 THEN 'A:' || text END,
+              'D:' || text) AS resolved_text
             FROM documents
         """,
         "latest_order_per_customer": """
