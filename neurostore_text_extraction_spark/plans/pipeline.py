@@ -68,10 +68,19 @@ def run_extraction(
         return RunResult(run_id, cfg, 0, 0, 0, True)
 
     ext = extract_pages(todo, num_partitions=num_partitions)
-    validated = ext.withColumn(
+    # per-row validity = no kernel error AND non-empty text AND schema
+    # conformance (required-marked fields non-null — the generic
+    # StructType-walk validator, ≙ the reference's per-study pydantic
+    # validation at base.py:1072-1095; failures flag, never abort)
+    from ..operators.schemaproc import with_validity
+
+    validated = with_validity(ext, EXTRACTED_SCHEMA, out_col="_schema_ok").withColumn(
         "valid",
-        F.col("error").isNull() & F.col("text").isNotNull() & (F.length("text") > 0),
-    )
+        F.col("error").isNull()
+        & F.col("_schema_ok")
+        & F.col("text").isNotNull()
+        & (F.length("text") > 0),
+    ).drop("_schema_ok")
     # One pass: write results, derive lineage/manifest from the written
     # snapshot (re-read is a cheap columnar scan; avoids caching the
     # heavy text in memory and avoids recomputing the UDF 3x).

@@ -34,17 +34,23 @@ SPAN_TYPE = T.ArrayType(
 
 # Output of the extraction stage (mapInPandas) — one row per page.
 # partition_id / wall_us / n_html_bytes feed the per-partition lineage
-# aggregation (north rule: per-partition lineage rows).
+# aggregation (north rule: per-partition lineage rows). "required"
+# metadata drives the generic schema-conformance validity flag
+# (operators/schemaproc.with_validity ≙ the reference's per-row
+# pydantic validation, base.py:1072-1095).
 EXTRACTED_SCHEMA = T.StructType(
     [
-        T.StructField("url", T.StringType(), False),
+        T.StructField("url", T.StringType(), False, metadata={"required": True}),
         T.StructField("warc_ts", T.TimestampType(), True),
         T.StructField("lang", T.StringType(), True),
-        T.StructField("kind", T.StringType(), True),  # html | jats | pdf | error
+        # html | jats | pdf | error
+        T.StructField("kind", T.StringType(), True, metadata={"required": True}),
         T.StructField("text", T.StringType(), True),
         T.StructField("spans", SPAN_TYPE, True),
         T.StructField("error", T.StringType(), True),
-        T.StructField("input_md5", T.StringType(), True),
+        T.StructField(
+            "input_md5", T.StringType(), True, metadata={"required": True}
+        ),
         T.StructField("n_html_bytes", T.LongType(), True),
         T.StructField("partition_id", T.IntegerType(), True),
         T.StructField("wall_us", T.LongType(), True),
