@@ -16,7 +16,34 @@ from collections.abc import Callable
 
 # the engine package lives next to this file; make imports robust to
 # the driver loading this module from any working directory
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# python WORKERS don't inherit driver sys.path mutations — export via
+# the environment for sessions created after this import...
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+_PKG_ZIP: str | None = None
+
+
+def _ensure_pkg_on_workers(spark: "SparkSession") -> None:
+    """...and for an already-running session (driver-created spark with
+    a different cwd), ship the package zip to workers via addPyFile —
+    the canonical mechanism, idempotent per context."""
+    global _PKG_ZIP
+    try:
+        if _PKG_ZIP is None:
+            import shutil
+            import tempfile
+
+            _PKG_ZIP = shutil.make_archive(
+                os.path.join(tempfile.gettempdir(), "nse_spark_pkg"),
+                "zip",
+                root_dir=_REPO,
+                base_dir="neurostore_text_extraction_spark",
+            )
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        pass  # already added to this context, or non-writable tmp
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -33,6 +60,7 @@ TOK = r"\w\w+"  # sklearn-parity token pattern (runs of >=2 word chars)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_pkg_on_workers(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
