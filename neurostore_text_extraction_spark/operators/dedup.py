@@ -18,6 +18,14 @@ Scale notes:
   (band_idx, band_hash); a band-bucket size cap drops degenerate
   boilerplate buckets before they explode the join; AQE skew-join
   handles residual skew.
+- cap enforcement is a groupBy-count -> broadcast *anti-join* of the
+  over-cap keys, NEVER a ``count().over(Window.partitionBy(key))``:
+  a window partition is one task, so the 10^7-member boilerplate
+  bucket the cap exists to drop would first have to be materialized
+  in a single task's state — the exact straggler the guard prevents.
+  The over-cap key set is tiny by construction (each key represents
+  > cap rows), so the anti-join side always broadcasts; the
+  groupBy-count itself is map-side-combinable.
 - SimHash: explode(token)×explode(bit) — bounded by N_BITS; emits one
   signature row per doc; pairs found by pigeonhole block join (any
   pair within Hamming distance < n_blocks shares one identical block).
@@ -32,7 +40,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .tfidf import tokens_col
 
@@ -54,6 +62,29 @@ def shingles_col(text_col: str = "text", k: int = 3):
             lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
         )
     )
+
+
+def _drop_over_cap_keys(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """Drop every row whose key appears more than ``cap`` times.
+
+    Scale-safe form: groupBy-count (map-side combinable) finds the
+    over-cap keys — a tiny set, since each key stands for > cap rows —
+    which is broadcast back as a ``left_anti`` join. No key's rows are
+    ever funneled into one window task."""
+    over = (
+        df.groupBy(*key_cols)
+        .count()
+        .where(F.col("count") > cap)
+        .select(*key_cols)
+    )
+    return df.join(F.broadcast(over), key_cols, "left_anti")
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly compute a (small) result frame and truncate its lineage
+    so upstream persisted inputs can be unpersisted immediately — the
+    pattern connected_components uses for its edge frame."""
+    return df.localCheckpoint(eager=True)
 
 
 def exact_duplicates(
@@ -123,20 +154,32 @@ def minhash_lsh_pairs(
     band_size: int = LSH_BAND_SIZE,
     shingle_words: int = 3,
     bucket_cap: int = LSH_BUCKET_CAP,
+    eager: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band, with the
     minhash-estimated jaccard (fraction of equal signature slots).
 
     Band buckets holding more than ``bucket_cap`` docs are dropped
-    before the self-join — a degenerate bucket of size m contributes
-    m² pair rows, and at web scale boilerplate-only pages produce
-    buckets with 10^6+ members. The bands frame carries only (id,
-    band) — signatures are re-joined per *pair*, not per band row, so
-    the 32× band explosion never multiplies the 128-slot payload."""
+    before the self-join (via :func:`_drop_over_cap_keys` — broadcast
+    anti-join, not a window, so the degenerate bucket never lands in
+    one task) — a degenerate bucket of size m contributes m² pair
+    rows, and at web scale boilerplate-only pages produce buckets with
+    10^6+ members. The bands frame carries only (id, band) —
+    signatures are re-joined per *pair*, not per band row, so the 32×
+    band explosion never multiplies the 128-slot payload.
+
+    ``eager=True`` (default) persists the signature frame for the
+    duration of the call, materializes the (small) pair result, and
+    unpersists before returning — repeated calls in a long-lived
+    session leak no executor storage. ``eager=False`` returns the
+    fully lazy plan (signature tree recomputed per consumer; useful
+    for plan inspection/composition)."""
     sig = minhash_signatures(df, id_col, text_col, k, shingle_words)
-    # persist: consumed by the band explode AND twice by the per-pair
-    # signature re-join; without it the shingle->minhash tree runs 3x.
-    sig = sig.persist()
+    if eager:
+        # persist: consumed by the band explode (twice: count + rows)
+        # AND twice by the per-pair signature re-join; without it the
+        # shingle->minhash tree runs 5x.
+        sig = sig.persist()
     n_bands = k // band_size
     bands = sig.select(
         F.col(id_col),
@@ -152,12 +195,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
-    bucket_w = Window.partitionBy("band_idx", "band_hash")
-    capped = (
-        bands.withColumn("_bsize", F.count("*").over(bucket_w))
-        .where(F.col("_bsize") <= bucket_cap)
-        .drop("_bsize")
-    )
+    capped = _drop_over_cap_keys(bands, ["band_idx", "band_hash"], bucket_cap)
     a = capped.select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
     b = capped.select(F.col(id_col).alias("doc_b"), "band_idx", "band_hash")
     pairs = (
@@ -177,11 +215,15 @@ def minhash_lsh_pairs(
         )
         / F.lit(float(k))
     )
-    return (
+    result = (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", eq_frac.alias("est_jaccard"))
     )
+    if eager:
+        result = _materialize(result)
+        sig.unpersist()
+    return result
 
 
 def connected_components(
@@ -272,6 +314,7 @@ def simhash_pairs(
     n_bits: int = SIMHASH_BITS,
     n_blocks: int = 4,
     max_hamming: int = 3,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -301,7 +344,8 @@ def simhash_pairs(
             )
         ).alias("blk"),
     ).select(id_col, "simhash", "blk.block_idx", "blk.block_val")
-    blocks = blocks.persist()
+    if eager:
+        blocks = blocks.persist()
     a = blocks.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"),
         "block_idx", "block_val",
@@ -311,13 +355,17 @@ def simhash_pairs(
         "block_idx", "block_val",
     )
     hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    return (
+    result = (
         a.join(b, ["block_idx", "block_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    if eager:
+        result = _materialize(result)
+        blocks.unpersist()
+    return result
 
 
 def ngram_jaccard_pairs(
@@ -327,6 +375,7 @@ def ngram_jaccard_pairs(
     shingle_words: int = 3,
     threshold: float = 0.5,
     max_df: int = NGRAM_MAX_DF,
+    eager: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over distinct k-word shingles for every pair
     sharing at least one shingle; |A∪B| = |A|+|B|-|A∩B|.
@@ -335,18 +384,18 @@ def ngram_jaccard_pairs(
     the self-join (and excluded from set sizes, so the jaccard is over
     the *discriminative* shingle sets): one boilerplate shingle shared
     by 10^6 docs would otherwise contribute 10^12 join rows. The df
-    filter is a window count over the shingle key — co-partitioned
-    with the join's own shuffle."""
-    sh = df.select(
+    cap is :func:`_drop_over_cap_keys` — groupBy-count + broadcast
+    anti-join, so the boilerplate shingle's rows never collapse into
+    one window task."""
+    sh_all = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, shingle_words)).alias("sh")
     ).distinct()
-    df_w = Window.partitionBy("sh")
-    sh = sh.withColumn("_df", F.count("*").over(df_w)).where(
-        F.col("_df") <= max_df
-    ).drop("_df")
-    # consumed three times (self-join sides + sizes): cache the small
-    # (id, shingle) frame instead of recomputing the tokenize tree
-    sh = sh.persist()
+    if eager:
+        # consumed four times (cap count, self-join sides, sizes):
+        # cache the small (id, shingle) frame instead of recomputing
+        # the tokenize tree
+        sh_all = sh_all.persist()
+    sh = _drop_over_cap_keys(sh_all, ["sh"], max_df)
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")
@@ -358,7 +407,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    result = (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .select(
@@ -371,3 +420,7 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    if eager:
+        result = _materialize(result)
+        sh_all.unpersist()
+    return result

@@ -140,6 +140,44 @@ def test_minhash_bucket_cap_drops_degenerate_bucket(spark):
     assert len(dedup.minhash_lsh_pairs(df, bucket_cap=10).collect()) == 1
 
 
+def test_dedup_caps_have_no_window_node(spark):
+    """The bucket/df caps must be groupBy-count + broadcast anti-join,
+    never count().over(Window.partitionBy(band/shingle)) — a window
+    partition is one task, so the degenerate bucket the cap exists to
+    drop would be materialized in a single task's state (the exact
+    straggler the guard prevents). eager=False exposes the lazy plan."""
+    df = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta epsilon"])
+    for frame in (
+        dedup.minhash_lsh_pairs(df, eager=False),
+        dedup.ngram_jaccard_pairs(df, threshold=0.0, eager=False),
+    ):
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in plan, plan
+        assert "LeftAnti" in plan, plan
+
+
+def test_dedup_eager_unpersists_intermediates(spark):
+    """eager=True (default) must not leak the big intermediate persists
+    (signatures / shingle frames) into the CacheManager across calls
+    (ADVICE: persist-leak in long-lived sessions). The only cached
+    entry each call may add is the tiny localCheckpoint'd RESULT RDD,
+    which the ContextCleaner frees when the returned DataFrame is
+    garbage-collected — unlike DataFrame.persist() entries, which stay
+    in the CacheManager until explicit unpersist."""
+    spark.catalog.clearCache()
+    df = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta"])
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    dedup.minhash_lsh_pairs(df).collect()
+    dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    dedup.simhash_pairs(df).collect()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    # 3 calls -> at most 3 result-checkpoint RDDs, no intermediates
+    assert after - before <= 3
+    # and nothing remains registered in the session CacheManager
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty()
+
+
 def test_lsh_topk_multitable_superset_recall(spark):
     """Identical query vector must always retrieve itself at rank 1."""
     from neurostore_text_extraction_spark.operators import similarity
