@@ -532,7 +532,7 @@ def _q_entity_link(spark, sf):
     lexicon = spark.createDataFrame(
         _LEXICON, "concept_id int, concept_name string, has_definition boolean"
     )
-    out = link_entities(mentions, lexicon, k=3, threshold=0.35, no_definition_threshold=0.45)
+    out = link_entities(mentions, lexicon, k=3, threshold=0.15, no_definition_threshold=0.2)
     return out.select(
         "mention_id", "concept_id", F.round("score", 6).alias("score"), "rank"
     )
@@ -620,7 +620,7 @@ def _q_entity_link_ctx(spark, sf):
         _LEXICON, "concept_id int, concept_name string, has_definition boolean"
     )
     out = link_entities_with_context(
-        mentions, lexicon, k=3, threshold=0.35, no_definition_threshold=0.45
+        mentions, lexicon, k=3, threshold=0.15, no_definition_threshold=0.2
     )
     return out.select(
         "mention_id", "concept_id", F.round("score", 6).alias("score"), "rank"
@@ -1216,28 +1216,44 @@ def _lexicon_case_sql() -> str:
 
 
 def _entity_link_oracle(mention_expr: str) -> str:
-    """Char-3-gram cosine linking oracle, parameterized on the mention
-    construction expression (shared by entity_link / entity_link_ctx)."""
+    """Char-3-gram tf-idf cosine linking oracle, parameterized on the
+    mention construction expression (shared by entity_link /
+    entity_link_ctx). idf = ln((1+n)/(1+df)) + 1 fitted on the lexicon
+    (sklearn smooth idf, scispacy CandidateGenerator parity); mention
+    ngrams outside the lexicon vocabulary are dropped by the idf join."""
     return f"""
         WITH lex(concept_id, concept_name, has_definition) AS (VALUES {_lexicon_values_sql()}),
         m AS (
           SELECT doc_id AS mention_id, lower({mention_expr}) AS s
           FROM documents WHERE text IS NOT NULL AND length(text) >= 24
         ),
-        mg AS (
+        mg0 AS (
           SELECT mention_id, ng, COUNT(*)::DOUBLE AS cnt FROM (
             SELECT mention_id, unnest(list_transform(
               generate_series(1, length(s) - 2), i -> substring(s, i, 3))) AS ng
             FROM m WHERE length(s) >= 3
           ) GROUP BY 1, 2
         ),
-        cgr AS (
+        cgr0 AS (
           SELECT concept_id, ng, COUNT(*)::DOUBLE AS cnt FROM (
             SELECT concept_id, unnest(list_transform(
               generate_series(1, length(lower(concept_name)) - 2),
               i -> substring(lower(concept_name), i, 3))) AS ng
             FROM lex
           ) GROUP BY 1, 2
+        ),
+        idf AS (
+          SELECT ng,
+                 ln((1.0 + (SELECT COUNT(*) FROM lex)) / (1.0 + COUNT(*))) + 1.0 AS w
+          FROM cgr0 GROUP BY ng
+        ),
+        cgr AS (
+          SELECT concept_id, ng, cgr0.cnt * idf.w AS cnt
+          FROM cgr0 JOIN idf USING (ng)
+        ),
+        mg AS (
+          SELECT mention_id, ng, mg0.cnt * idf.w AS cnt
+          FROM mg0 JOIN idf USING (ng)
         ),
         mn AS (SELECT mention_id, sqrt(SUM(cnt*cnt)) AS m_norm FROM mg GROUP BY 1),
         cn AS (SELECT concept_id, sqrt(SUM(cnt*cnt)) AS c_norm FROM cgr GROUP BY 1),
@@ -1251,8 +1267,8 @@ def _entity_link_oracle(mention_expr: str) -> str:
         ),
         thresholded AS (
           SELECT s.* FROM scored s JOIN lex USING (concept_id)
-          WHERE (lex.has_definition AND s.score >= 0.35)
-             OR (NOT lex.has_definition AND s.score >= 0.45)
+          WHERE (lex.has_definition AND s.score >= 0.15)
+             OR (NOT lex.has_definition AND s.score >= 0.2)
         ),
         ranked AS (
           SELECT *, row_number() OVER (PARTITION BY mention_id

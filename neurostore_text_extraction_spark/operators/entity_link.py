@@ -6,10 +6,17 @@ filtering (W4/W5, ``model.py:249-273``).
 
 Re-expressed as pure DataFrame algebra (SQL-oracle-able):
 - mention and lexicon strings → lowercased char 3-grams with counts;
-- candidate score = cosine over ngram count vectors, computed by an
-  equi-join on the shared ngram (sparse dot product — only colliding
-  ngrams contribute), so the pair space is pruned exactly like an
-  inverted index;
+- each ngram is weighted by smooth idf over the *lexicon* —
+  ln((1+n_concepts)/(1+df)) + 1, sklearn ``TfidfVectorizer`` semantics,
+  the same idf twin as ``operators/tfidf.py`` — so high-df trigrams
+  ("the", "ion") no longer dominate the cosine (scispacy's
+  ``CandidateGenerator`` is a char-3gram *tf-idf* ANN, not raw counts);
+  mention ngrams absent from the lexicon vocabulary are dropped, like
+  sklearn's fitted-vectorizer ``transform``;
+- candidate score = cosine over the weighted ngram vectors, computed
+  by an equi-join on the shared ngram (sparse dot product — only
+  colliding ngrams contribute), so the pair space is pruned exactly
+  like an inverted index;
 - per-mention top-k by (score desc, concept_id asc) + score threshold;
   a stricter ``no_definition_threshold`` applies to concepts without a
   definition (``model.py:249-270``).
@@ -74,11 +81,46 @@ def link_entities(
     mention_text: str = "mention",
     concept_id: str = "concept_id",
     concept_text: str = "concept_name",
+    idf_weighting: bool = True,
 ) -> DataFrame:
     """mentions(mention_id, mention) × lexicon(concept_id, concept_name,
-    has_definition) → (mention_id, concept_id, score, rank)."""
+    has_definition) → (mention_id, concept_id, score, rank).
+
+    ``idf_weighting=True`` (default, scispacy ``CandidateGenerator``
+    parity — reference ``umls_disease/model.py:239-247``) weights each
+    char-3gram by smooth idf fitted on the lexicon before the cosine;
+    ``False`` keeps the raw-count cosine (kept for the pytest that
+    demonstrates the ranking difference). All idf machinery runs on
+    the tiny lexicon side and broadcasts — the mention-side plan gains
+    one broadcast-hash join, no extra shuffle."""
     m = _ngram_counts(mentions, mention_id, mention_text)
     c = _ngram_counts(lexicon, concept_id, concept_text)
+    if idf_weighting:
+        # df per ngram over the lexicon: c is one row per (concept,
+        # ngram), so count(*) per ngram IS document frequency. n is a
+        # 1-row frame cross-joined in (no driver-side count() job).
+        n_concepts = lexicon.select(F.count("*").cast("double").alias("_n"))
+        idf = (
+            c.groupBy("ng")
+            .agg(F.count("*").cast("double").alias("_df"))
+            .crossJoin(F.broadcast(n_concepts))
+            .select(
+                "ng",
+                (
+                    F.log((F.lit(1.0) + F.col("_n")) / (F.lit(1.0) + F.col("_df")))
+                    + F.lit(1.0)
+                ).alias("_idf"),
+            )
+        )
+        c = c.join(idf, "ng").select(
+            concept_id, "ng", (F.col("cnt") * F.col("_idf")).alias("cnt")
+        )
+        # inner join = vocabulary restriction: mention ngrams unseen in
+        # the lexicon drop out of the vector AND its norm, exactly like
+        # transforming with a lexicon-fitted TfidfVectorizer.
+        m = m.join(F.broadcast(idf), "ng").select(
+            mention_id, "ng", (F.col("cnt") * F.col("_idf")).alias("cnt")
+        )
     m_norm = m.groupBy(mention_id).agg(
         F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("m_norm")
     )

@@ -87,6 +87,43 @@ def test_link_entities_exact_match_first(spark):
     assert 2 not in by_mention  # garbage mention: nothing above threshold
 
 
+def test_link_entities_idf_downweights_common_trigrams(spark):
+    """scispacy CandidateGenerator parity (reference umls_disease/
+    model.py:239-247): the candidate cosine is over *tf-idf-weighted*
+    char 3-grams, so a concept matching the mention only through
+    high-df trigrams ('atio', 'tion' — present in most lexicon
+    entries) must rank BELOW a concept matching through discriminative
+    trigrams ('zebr', 'ebra'). With raw counts the ranking inverts."""
+    lexicon = spark.createDataFrame(
+        [
+            (1, "activation station", True),
+            (2, "education nation", True),
+            (3, "creation formation", True),
+            (4, "donation rotation", True),
+            (5, "mutation citation", True),
+            (6, "zebra quartz", True),
+        ],
+        "concept_id int, concept_name string, has_definition boolean",
+    )
+    mentions = spark.createDataFrame(
+        [(1, "zebra donation")], "mention_id int, mention string"
+    )
+
+    def scores(idf):
+        rows = link_entities(
+            mentions, lexicon, k=6, threshold=0.0,
+            no_definition_threshold=0.0, idf_weighting=idf,
+        ).collect()
+        return {r.concept_id: r.score for r in rows}
+
+    raw, idf = scores(False), scores(True)
+    # raw counts: the 'ation'-only concept 2 outranks discriminative 6
+    assert raw[2] > raw[6]
+    # tf-idf: the discriminative match wins; true concept 4 stays first
+    assert idf[6] > idf[2]
+    assert max(idf, key=idf.get) == 4
+
+
 def test_clean_groups_imputation(spark):
     df = spark.createDataFrame(
         [
