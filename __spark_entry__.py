@@ -809,27 +809,33 @@ def _q_eval_prf(spark, sf):
 
 
 def _q_corpus_hash(spark, sf):
-    """A5 DependentPipeline group-identity hash (reference-parity form:
-    sorted collect_list — see corpus_hash_scalable for the scale path)."""
-    from neurostore_text_extraction_spark.operators.incremental import corpus_hash_df
-
-    return corpus_hash_df(_t(spark, sf, "documents"), id_col="doc_id")
-
-
-def _q_corpus_hash_scalable(spark, sf):
-    """A5 at scale: commutative (count, bit_xor, bit_xor) digest — no
-    single-task sorted collect."""
+    """A5 DependentPipeline group-identity hash, BOTH forms in one row:
+    the reference-parity sorted-collect sha256 and the commutative
+    (count, bit_xor, bit_xor) scale-path digest. One query proves the
+    parity form and the scale form over the same corpus."""
     from neurostore_text_extraction_spark.operators.incremental import (
+        corpus_hash_df,
         corpus_hash_scalable,
     )
 
-    return corpus_hash_scalable(_t(spark, sf, "documents"), id_col="doc_id")
+    docs = _t(spark, sf, "documents")
+    parity = corpus_hash_df(docs, id_col="doc_id")
+    scalable = corpus_hash_scalable(docs, id_col="doc_id").select(
+        F.col("corpus_sha256").alias("corpus_sha256_scalable")
+    )
+    return parity.crossJoin(scalable)
 
 
 def _q_identifiers_json(spark, sf):
-    """S2 identifier load: packed identifiers.json string → typed
-    (pmid, pmcid, doi) via native from_json."""
-    from neurostore_text_extraction_spark.sources.catalog import parse_identifiers
+    """S2 identifier load + S6 metadata load with the NaN-repair quirk:
+    packed identifiers.json → typed (pmid, pmcid, doi) via native
+    from_json, and a pandas-artifact metadata.json (title is the float
+    NaN token for doc_id % 5 == 0) → typed (title, abstract) with NaN
+    coerced to '' (reference ``ns_extract/pipelines/utils.py:70-74``)."""
+    from neurostore_text_extraction_spark.sources.catalog import (
+        parse_identifiers,
+        parse_study_metadata,
+    )
 
     docs = _t(spark, sf, "documents")
     js = F.concat(
@@ -841,8 +847,27 @@ def _q_identifiers_json(spark, sf):
             F.concat(F.lit('", "doi": "10.1000/'), F.col("doc_id").cast("string"), F.lit('"}'))
         ),
     )
-    parsed = docs.select("doc_id", parse_identifiers(js).alias("ids"))
-    return parsed.select("doc_id", "ids.pmid", "ids.pmcid", "ids.doi")
+    title = F.when(F.col("doc_id") % 5 == 0, F.lit("NaN")).otherwise(
+        F.concat(F.lit('"Study '), F.col("doc_id").cast("string"), F.lit('"'))
+    )
+    meta_js = F.concat(
+        F.lit('{"title": '),
+        title,
+        F.lit(', "abstract": "About topic '),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit('", "year": 20'),
+        F.lpad((F.col("doc_id") % 25).cast("string"), 2, "0"),
+        F.lit("}"),
+    )
+    parsed = docs.select(
+        "doc_id",
+        parse_identifiers(js).alias("ids"),
+        parse_study_metadata(meta_js).alias("meta"),
+    )
+    return parsed.select(
+        "doc_id", "ids.pmid", "ids.pmcid", "ids.doi",
+        "meta.title", "meta.abstract", "meta.year",
+    )
 
 
 def _q_table_pairing(spark, sf):
@@ -1054,6 +1079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "fingerprints": _q_fingerprints,
         "incremental_changed": _q_incremental,
+        # S6 JSON source — early in the dict: the r2 driver recorded 50
+        # of 51 registered queries and this (then-last) one lost its row
+        "events_json": _q_events_json,
         "source_priority": _q_source_priority,
         "source_attach": _q_source_attach,
         "add_pipeline_latest": _q_add_pipeline,
@@ -1077,7 +1105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_normalize": _q_metrics_normalize,
         "eval_prf": _q_eval_prf,
         "corpus_hash": _q_corpus_hash,
-        "corpus_hash_scalable": _q_corpus_hash_scalable,
         "identifiers_json": _q_identifiers_json,
         "table_pairing": _q_table_pairing,
         "hash_embedding": _q_hash_embedding,
@@ -1089,7 +1116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": _q_contamination,
         "event_sessions": _q_event_sessions,
         "session_windows": _q_session_windows,
-        "events_json": _q_events_json,
     }
 
 
@@ -1753,27 +1779,48 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END, 6) AS f1
             FROM counts
         """,
-        "corpus_hash": """
-            SELECT sha256(string_agg(CAST(doc_id AS VARCHAR), '_'
-                   ORDER BY CAST(doc_id AS VARCHAR))) AS corpus_sha256
-            FROM documents
-        """,
-        "corpus_hash_scalable": f"""
+        "corpus_hash": f"""
             WITH hv AS (
               SELECT {_hex_int_sql('h', 1, 8)} AS h1, {_hex_int_sql('h', 9, 8)} AS h2
               FROM (SELECT md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+            ),
+            parity AS (
+              SELECT sha256(string_agg(CAST(doc_id AS VARCHAR), '_'
+                     ORDER BY CAST(doc_id AS VARCHAR))) AS corpus_sha256
+              FROM documents
+            ),
+            scal AS (
+              SELECT sha256(COUNT(*)::VARCHAR || '_' || bit_xor(h1)::VARCHAR
+                     || '_' || bit_xor(h2)::VARCHAR) AS corpus_sha256_scalable
+              FROM hv
             )
-            SELECT sha256(COUNT(*)::VARCHAR || '_' || bit_xor(h1)::VARCHAR
-                   || '_' || bit_xor(h2)::VARCHAR) AS corpus_sha256
-            FROM hv
+            SELECT corpus_sha256, corpus_sha256_scalable FROM parity, scal
         """,
-        "identifiers_json": """
+        "identifiers_json": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     '{"title": '
+                       || CASE WHEN doc_id % 5 = 0 THEN 'NaN'
+                               ELSE '"Study ' || CAST(doc_id AS VARCHAR) || '"' END
+                       || ', "abstract": "About topic ' || CAST(doc_id % 13 AS VARCHAR)
+                       || '", "year": 20' || lpad(CAST(doc_id % 25 AS VARCHAR), 2, '0')
+                       || '}' AS meta_js
+              FROM documents
+            ),
+            repaired AS (
+              SELECT doc_id,
+                     regexp_replace(meta_js, '("title"\s*:\s*)NaN', '\1""') AS meta_js
+              FROM raw
+            )
             SELECT doc_id,
                    CAST(doc_id + 10000 AS VARCHAR) AS pmid,
                    'PMC' || CAST(doc_id AS VARCHAR) AS pmcid,
                    CASE WHEN doc_id % 4 != 0
-                        THEN '10.1000/' || CAST(doc_id AS VARCHAR) END AS doi
-            FROM documents
+                        THEN '10.1000/' || CAST(doc_id AS VARCHAR) END AS doi,
+                   json_extract_string(meta_js, '$.title') AS title,
+                   json_extract_string(meta_js, '$.abstract') AS abstract,
+                   CAST(json_extract(meta_js, '$.year') AS INT) AS year
+            FROM repaired
         """,
         "table_pairing": """
             WITH files AS (

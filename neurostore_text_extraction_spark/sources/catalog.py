@@ -127,6 +127,32 @@ def read_typed(spark: SparkSession, path: str) -> DataFrame:
 
 
 IDENTIFIERS_DDL = "pmid string, pmcid string, doi string"
+METADATA_DDL = "title string, abstract string, year int"
+_NAN_REPAIR_FIELDS = ("title", "abstract")
+
+
+def repair_nan_metadata(col_or_name, fields: tuple[str, ...] = _NAN_REPAIR_FIELDS):
+    """S6 NaN-repair quirk (reference ``ns_extract/pipelines/utils.py:
+    70-74``): pandas-written metadata JSON carries float ``NaN`` for
+    missing title/abstract; the reference coerces those to ``""`` on
+    load. Here the *unquoted* ``NaN`` token is rewritten to ``""`` in
+    the raw JSON string before parsing (a quoted ``"NaN"`` string is a
+    real value and is preserved, matching the isinstance-float check).
+    Pure regexp_replace — native, and an exact DuckDB twin exists."""
+    from pyspark.sql import Column, functions as F
+
+    col = col_or_name if isinstance(col_or_name, Column) else F.col(col_or_name)
+    for f in fields:
+        col = F.regexp_replace(col, r'("' + f + r'"\s*:\s*)NaN', '$1""')
+    return col
+
+
+def parse_study_metadata(col_or_name):
+    """S6 metadata load: raw metadata.json string column → typed
+    (title, abstract, year) struct with the NaN repair applied."""
+    from pyspark.sql import functions as F
+
+    return F.from_json(repair_nan_metadata(col_or_name), METADATA_DDL)
 
 
 def parse_identifiers(col_or_name):

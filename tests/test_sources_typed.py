@@ -87,3 +87,32 @@ def test_x6_language_routing_changes_candidate():
     # end-to-end: both languages still extract real text
     text, _ = extract_html(page.encode(), lang="es")
     assert "La ciudad" in text
+
+
+def test_nan_metadata_repair_matches_reference(spark):
+    """S6 NaN-repair quirk (reference ns_extract/pipelines/utils.py:
+    70-74): a float NaN title/abstract in pandas-written metadata JSON
+    is coerced to "" on load; a quoted "NaN" STRING is a real value and
+    must survive (the reference's isinstance(float) check)."""
+    from pyspark.sql import functions as F
+
+    from neurostore_text_extraction_spark.sources.catalog import (
+        parse_study_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ('{"title": NaN, "abstract": "kept", "year": 2020}',),
+            ('{"title": "NaN", "abstract": NaN, "year": 2021}',),
+            ('{"title": "ok", "year": 2022}',),
+        ],
+        "js string",
+    )
+    rows = (
+        df.select(parse_study_metadata(F.col("js")).alias("m"))
+        .select("m.title", "m.abstract", "m.year")
+        .collect()
+    )
+    assert (rows[0].title, rows[0].abstract, rows[0].year) == ("", "kept", 2020)
+    assert (rows[1].title, rows[1].abstract, rows[1].year) == ("NaN", "", 2021)
+    assert (rows[2].title, rows[2].abstract, rows[2].year) == ("ok", None, 2022)
