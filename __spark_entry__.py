@@ -924,10 +924,14 @@ def _q_blob_metadata(spark, sf):
 
 def _synth_urls(spark, sf):
     """Messy URLs with known canonical forms: uppercase scheme/host,
-    default port, tracking params, fragments, trailing slashes."""
+    default port, tracking params, fragments, trailing slashes — plus
+    a NON-default port case (http://host:443) that must be PRESERVED:
+    the default-port strip is scheme-aware (http drops only :80,
+    https only :443), so http on 443 names a distinct resource."""
     docs = _t(spark, sf, "documents")
     did = F.col("doc_id")
     host = F.concat(F.lit("WWW.Example"), (did % 50).cast("string"), F.lit(".COM"))
+    scheme = F.when(did % 7 == 0, F.lit("HTTP://")).otherwise(F.lit("HTTPS://"))
     suffix = (
         F.when(did % 4 == 0, F.lit("/?utm_source=x&fbclid=1"))
         .when(did % 4 == 1, F.concat(F.lit("?id="), did.cast("string"), F.lit("&utm_medium=email")))
@@ -937,7 +941,7 @@ def _synth_urls(spark, sf):
     return docs.select(
         "doc_id",
         F.concat(
-            F.lit("HTTPS://"), host, F.lit(":443/path"), did.cast("string"), suffix
+            scheme, host, F.lit(":443/path"), did.cast("string"), suffix
         ).alias("url"),
         F.length(F.coalesce("text", F.lit(""))).cast("long").alias("n_bytes"),
     )
@@ -1876,8 +1880,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_canonicalize": """
             SELECT doc_id,
-                   'https://www.example' || CAST(doc_id % 50 AS VARCHAR)
-                   || '.com/path' || CAST(doc_id AS VARCHAR)
+                   CASE WHEN doc_id % 7 = 0 THEN 'http://' ELSE 'https://' END
+                   || 'www.example' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+                   -- http on port 443 is NOT the scheme's default port:
+                   -- it survives canonicalization
+                   || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
+                   || '/path' || CAST(doc_id AS VARCHAR)
                    || CASE WHEN doc_id % 4 = 1
                            THEN '?id=' || CAST(doc_id AS VARCHAR) ELSE '' END
                    AS canonical_url

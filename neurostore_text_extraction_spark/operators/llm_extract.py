@@ -233,6 +233,17 @@ def llm_extract(
                     for i in todo
                 ]
                 replies = client.complete(prompts)
+                # a short (or long) reply list must not silently leave
+                # unmatched rows as valid=False/error=None — those are
+                # indistinguishable from never-attempted rows and O9
+                # fault isolation loses the cause.
+                if len(replies) != len(prompts):
+                    mismatch = (
+                        f"client returned {len(replies)} replies "
+                        f"for {len(prompts)} prompts"
+                    )
+                    for i in todo[len(replies):]:
+                        rows["error"][i] = mismatch
                 for i, raw in zip(todo, replies):
                     rows["raw_response"][i] = raw
                     try:

@@ -59,7 +59,7 @@ def add_pipeline(
     config_hash: str = "latest",
     id_col: str = "url",
     payload_cols: tuple[str, ...] = ("payload",),
-    warn_dangling: bool = True,
+    warn_dangling: bool = False,
 ) -> DataFrame:
     """S10 end-to-end upstream-pipeline attach (``ns_extract/
     dataset.py:243-382``): resolve which run of an upstream extractor
@@ -78,7 +78,10 @@ def add_pipeline(
     - The attach itself is a left join on the study id; studies with no
       upstream result keep the pages row with null payload, and (like
       the reference's per-study warning, ``dataset.py:350-382``) the
-      dangling count is logged when ``warn_dangling``."""
+      dangling count is logged when ``warn_dangling``. Default OFF: the
+      count is a second full pass over the join output before any
+      consumer has run — at scale, derive the dangling count from the
+      consumer's own aggregation (payload IS NULL) instead."""
     r = results.where(F.col("extractor") == extractor)
     if version == "latest":
         top_v = (

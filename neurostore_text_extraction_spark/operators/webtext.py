@@ -35,8 +35,10 @@ TRACKING_PARAMS = (
 
 
 def canonical_url_col(url: Column) -> Column:
-    """Canonical form: lowercase scheme+host, strip fragment, strip
-    default :80/:443 ports, drop tracking query params (empty query
+    """Canonical form: lowercase scheme+host, strip fragment, strip the
+    scheme's OWN default port (:80 for http, :443 for https — an
+    explicit non-default port like http://host:443 names a distinct
+    resource and is preserved), drop tracking query params (empty query
     removed), fold trailing slash on a bare path."""
     # split off fragment first
     no_frag = F.regexp_replace(url, r"#.*$", "")
@@ -44,7 +46,12 @@ def canonical_url_col(url: Column) -> Column:
     rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
     path_q = F.regexp_replace(rest, r"^[^/?]*", "")
-    host = F.lower(F.regexp_replace(hostport, r":(80|443)$", ""))
+    lower_hp = F.lower(hostport)
+    host = (
+        F.when(scheme == "http", F.regexp_replace(lower_hp, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(lower_hp, r":443$", ""))
+        .otherwise(lower_hp)
+    )
     path = F.regexp_extract(path_q, r"^([^?]*)", 1)
     query = F.regexp_extract(path_q, r"\?(.*)$", 1)
     kept = F.filter(

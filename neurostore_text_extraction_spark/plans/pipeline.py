@@ -53,9 +53,34 @@ def run_extraction(
     kwargs: dict | None = None,
     num_partitions: int | None = None,
     resume: bool = True,
+    auto_compact_after: int | None = 16,
+    corpus_scoped: bool = False,
 ) -> RunResult:
+    """See module docstring. ``auto_compact_after``: once the results/
+    manifest snapshot history exceeds this many snapshots it is
+    compacted to the latest row per key, keeping ``read_results``'s
+    latest-pick (and the manifest anti-join's right side) bounded at
+    O(auto_compact_after) files per scan for arbitrarily long-lived
+    pipelines. ``None`` disables.
+
+    ``corpus_scoped=True`` folds the corpus identity (the commutative
+    url-set digest, A5) into the run's cache key — the distributed form
+    of the reference DependentPipeline's group-identity hash
+    (``base.py:646-669``) and its ``-1``/``-2`` fresh-dir suffixing
+    (``base.py:163-165``, ``utils.py:91-114``): the same config over a
+    DIFFERENT corpus is a cache miss and recomputes into fresh manifest
+    rows, while re-running the identical corpus still memoizes. Costs
+    one column-pruned scan of the id column per run; default off — the
+    per-(url, md5, config) manifest match already handles per-doc
+    incrementality."""
     cat = Catalog(store_root)
-    cfg = config_hash(EXTRACTOR_VERSION, kwargs)
+    if corpus_scoped:
+        from ..operators.incremental import corpus_hash_scalable
+
+        digest = corpus_hash_scalable(pages, id_col="url").first()["corpus_sha256"]
+        cfg = config_hash(EXTRACTOR_VERSION, {**(kwargs or {}), "_corpus": digest})
+    else:
+        cfg = config_hash(EXTRACTOR_VERSION, kwargs)
     run_id = uuid.uuid4().hex[:12]
     now = datetime.now(timezone.utc).isoformat()
 
@@ -120,6 +145,17 @@ def run_extraction(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("e"),
     ).first()
+    if auto_compact_after is not None:
+        # results keyed by url (read_results' latest-per-url rule);
+        # manifest keyed by its full match tuple so every config's skip
+        # rows survive compaction.
+        cat.maybe_compact(spark, "results", ["url"], max_snapshots=auto_compact_after)
+        cat.maybe_compact(
+            spark,
+            "manifest",
+            ["url", "input_md5", "config_hash"],
+            max_snapshots=auto_compact_after,
+        )
     return RunResult(run_id, cfg, counts["n"], counts["n"], int(counts["e"] or 0), False)
 
 

@@ -34,21 +34,65 @@ class Catalog:
             os.path.join(d, s) for s in os.listdir(d) if s.startswith("snap-")
         )
 
+    def _next_seq(self, table: str) -> int:
+        """max(existing snapshot numbers) + 1 — NOT len(snapshots):
+        compact deletes old snapshots, so a length-derived number would
+        re-issue a sequence number BELOW the compacted snapshot and the
+        next compact's latest-wins rule would resurrect the stale
+        compacted row over the newer append."""
+        seqs = [
+            int(os.path.basename(s).split("-")[1]) for s in self.snapshots(table)
+        ]
+        return max(seqs) + 1 if seqs else 0
+
     def append(self, df: DataFrame, table: str) -> str:
         """Write df as a new immutable snapshot; returns its path."""
         tmp = os.path.join(self.root, ".tmp", uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(tmp)
         os.makedirs(self._table_dir(table), exist_ok=True)
-        n = len(self.snapshots(table))
+        n = self._next_seq(table)
         dest = os.path.join(self._table_dir(table), f"snap-{n:06d}-{uuid.uuid4().hex[:8]}")
         os.rename(tmp, dest)
         return dest
 
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """Union of ALL snapshot rows — append history included. A
+        crash between compact's append and its rmtree leaves the
+        pre-compact snapshots visible here as duplicates; use
+        :meth:`read_latest` (or re-run :meth:`compact`, which collapses
+        them) when per-key latest-wins semantics are required."""
         snaps = self.snapshots(table)
         if not snaps:
             return None
         return spark.read.parquet(*snaps)
+
+    def read_latest(
+        self,
+        spark: SparkSession,
+        table: str,
+        key_cols: list[str],
+        order_col: str | None = None,
+    ) -> DataFrame | None:
+        """Latest row per key across the snapshot history — the same
+        rule :meth:`compact` applies (snapshot sequence desc, then
+        ``order_col`` desc), so readers see identical results before
+        and after compaction, including the duplicated-but-correct
+        state a crashed compact leaves behind."""
+        from pyspark.sql import Window, functions as F
+
+        snaps = self.snapshots(table)
+        if not snaps:
+            return None
+        df = spark.read.parquet(*snaps).withColumn("_snap", F.input_file_name())
+        order = [F.col("_snap").desc()]
+        if order_col is not None:
+            order.append(F.col(order_col).desc())
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_snap")
+        )
 
     def exists(self, table: str) -> bool:
         return bool(self.snapshots(table))
@@ -70,8 +114,12 @@ class Catalog:
         Single-writer protocol (like the append path): the new snapshot
         is committed atomically by rename before the old ones are
         removed, so a crash mid-compact leaves duplicated-but-correct
-        history (readers dedupe by the same latest-wins rule), never
-        lost rows."""
+        history, never lost rows. ``read_latest`` dedupes that state by
+        the same latest-wins rule (the compacted snapshot carries a
+        HIGHER sequence number than the snapshots it replaced — see
+        ``_next_seq``), and the next ``compact`` run collapses the
+        leftovers; plain ``read`` unions everything and will show the
+        duplicates."""
         import shutil
 
         from pyspark.sql import Window, functions as F
@@ -99,6 +147,24 @@ class Catalog:
         for s in snaps:
             shutil.rmtree(s, ignore_errors=True)
         return dest
+
+    def maybe_compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        key_cols: list[str],
+        order_col: str | None = None,
+        max_snapshots: int = 16,
+    ) -> str | None:
+        """Auto-compaction policy: compact only once the snapshot
+        history exceeds ``max_snapshots``, so long-lived incremental
+        pipelines keep every latest-pick read bounded (O(max_snapshots)
+        files per scan) while short histories pay no compaction cost.
+        Amortized: each compaction reads each live row once, and runs
+        at most every ``max_snapshots`` appends."""
+        if len(self.snapshots(table)) <= max_snapshots:
+            return None
+        return self.compact(spark, table, key_cols, order_col)
 
 
 # S8 extension dispatch — typed loader routing by file suffix

@@ -93,6 +93,29 @@ def test_llm_broken_reply_fault_isolated(spark):
     assert out["s2"].valid  # empty-text row unaffected
 
 
+def test_llm_short_reply_list_errors_unmatched_rows(spark):
+    """A client returning fewer replies than prompts must mark the
+    unmatched rows with an explicit error — not leave them valid=False
+    / error=None, indistinguishable from never-attempted rows."""
+
+    class ShortClient:
+        def complete(self, prompts):
+            from neurostore_text_extraction_spark.operators.llm_extract import (
+                StubLLMClient,
+            )
+
+            return StubLLMClient().complete(prompts)[:1]  # drop the rest
+
+    pages = _pages(
+        spark, [("s1", "10 patients enrolled."), ("s2", "20 controls enrolled.")]
+    ).coalesce(1)  # one Arrow batch so both prompts hit one complete() call
+    out = {r.url: r for r in llm_extract(pages, ShortClient).collect()}
+    answered = [r for r in out.values() if r.valid]
+    unmatched = [r for r in out.values() if not r.valid]
+    assert len(answered) == 1 and len(unmatched) == 1
+    assert "1 replies for 2 prompts" in unmatched[0].error
+
+
 def test_llm_chain_into_clean_groups(spark):
     """U5 end-to-end: LLM extraction feeding the F13 post-process."""
     from neurostore_text_extraction_spark.operators.demographics import clean_groups

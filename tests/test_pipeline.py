@@ -188,3 +188,106 @@ def test_manifest_compaction(spark, corpus, tmp_path):
     # corpus is a whole-run cache hit
     r3 = run_extraction(spark, changed, store, num_partitions=8)
     assert r3.skipped
+
+
+def test_compact_append_compact_ordering(spark, tmp_path):
+    """Snapshot numbering must be max+1, not len: after compact deletes
+    snap-0/1 and writes snap-2, a length-derived name for the next
+    append would be snap-1 — sorting BEFORE the compacted snapshot, so
+    the next compact would resurrect the stale compacted row."""
+    cat = Catalog(str(tmp_path / "cat"))
+    mk = lambda v: spark.createDataFrame([(1, v)], "k int, v string")
+    cat.append(mk("a"), "t")
+    cat.append(mk("b"), "t")
+    cat.compact(spark, "t", key_cols=["k"])
+    assert cat.read(spark, "t").collect()[0].v == "b"
+    cat.append(mk("c"), "t")
+    # the new append must carry a HIGHER sequence number than the
+    # compacted snapshot
+    seqs = [s.split("snap-")[1][:6] for s in cat.snapshots("t")]
+    assert seqs == sorted(seqs) and len(set(seqs)) == 2
+    assert cat.read_latest(spark, "t", ["k"]).collect()[0].v == "c"
+    cat.compact(spark, "t", key_cols=["k"])
+    assert cat.read(spark, "t").collect()[0].v == "c"
+
+
+def test_read_latest_dedupes_crashed_compact_state(spark, tmp_path):
+    """A crash between compact's append and its rmtree leaves the old
+    snapshots beside the compacted one; read() shows duplicates (by
+    contract), read_latest must dedupe to the compacted (newest) row,
+    and a re-run of compact collapses the leftovers."""
+    import shutil
+
+    cat = Catalog(str(tmp_path / "cat"))
+    mk = lambda v: spark.createDataFrame([(1, v)], "k int, v string")
+    cat.append(mk("a"), "t")
+    cat.append(mk("b"), "t")
+    # simulate the crash: snapshot the pre-compact state, compact, then
+    # restore the originals next to the compacted snapshot
+    saved = {
+        s: str(tmp_path / ("bak-" + s.rsplit("/", 1)[-1])) for s in cat.snapshots("t")
+    }
+    for s, bak in saved.items():
+        shutil.copytree(s, bak)
+    cat.compact(spark, "t", key_cols=["k"])
+    for s, bak in saved.items():
+        shutil.move(bak, s)
+    assert len(cat.snapshots("t")) == 3
+    assert cat.read(spark, "t").count() == 3  # duplicates visible, by contract
+    # compacted snapshot has the highest seq -> latest-wins gives 'b'
+    assert cat.read_latest(spark, "t", ["k"]).collect()[0].v == "b"
+    # and a compact re-run heals the layout without losing the row
+    cat.compact(spark, "t", key_cols=["k"])
+    assert len(cat.snapshots("t")) == 1
+    assert cat.read(spark, "t").collect()[0].v == "b"
+
+
+def test_auto_compaction_bounds_snapshot_history(spark, corpus, tmp_path):
+    """Long-lived incremental pipeline: snapshot history stays bounded
+    by auto_compact_after, and memoization still holds afterwards."""
+    store = str(tmp_path / "store")
+    pages = pages_view(corpus).limit(30).cache()
+    pages.count()
+    target = pages.select("url").orderBy("url").first().url
+    for i in range(8):
+        changed = pages.withColumn(
+            "html",
+            F.when(
+                F.col("url") == target,
+                F.concat(F.col("html"), F.lit(f"<!-- v{i} -->".encode())),
+            ).otherwise(F.col("html")),
+        )
+        run_extraction(spark, changed, store, num_partitions=4, auto_compact_after=4)
+    cat = Catalog(store)
+    assert len(cat.snapshots("manifest")) <= 5
+    assert len(cat.snapshots("results")) <= 5
+    # memoization survives compaction: identical re-run skips
+    last = pages.withColumn(
+        "html",
+        F.when(
+            F.col("url") == target,
+            F.concat(F.col("html"), F.lit(b"<!-- v7 -->")),
+        ).otherwise(F.col("html")),
+    )
+    assert run_extraction(spark, last, store, num_partitions=4).skipped
+    # and read_results still returns one latest row per url
+    assert read_results(spark, store).groupBy("url").count().where("count > 1").count() == 0
+    pages.unpersist()
+
+
+def test_corpus_scoped_cache_key(spark, corpus, tmp_path):
+    """corpus_scoped=True folds the url-set digest into the cache key
+    (reference DependentPipeline group-identity hash + fresh-dir
+    semantics): same config + different corpus = miss over the whole
+    new corpus; same corpus = hit."""
+    store = str(tmp_path / "store")
+    a = pages_view(corpus).limit(20).cache()
+    b = pages_view(corpus).limit(25).cache()
+    a.count(), b.count()
+    r1 = run_extraction(spark, a, store, num_partitions=4, corpus_scoped=True)
+    assert not r1.skipped and r1.n_processed == 20
+    assert run_extraction(spark, a, store, num_partitions=4, corpus_scoped=True).skipped
+    r3 = run_extraction(spark, b, store, num_partitions=4, corpus_scoped=True)
+    assert not r3.skipped and r3.n_processed == 25  # full fresh recompute
+    assert run_extraction(spark, b, store, num_partitions=4, corpus_scoped=True).skipped
+    a.unpersist(), b.unpersist()

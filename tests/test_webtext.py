@@ -17,6 +17,10 @@ def test_canonical_url(spark):
         "http://ex.com/path/": "http://ex.com/path",
         "http://ex.com/path/?gclid=z": "http://ex.com/path",
         "http://ex.com:8080/x": "http://ex.com:8080/x",  # non-default port kept
+        # cross-scheme default ports are NOT default for that scheme
+        "http://ex.com:443/x": "http://ex.com:443/x",
+        "https://ex.com:80/x": "https://ex.com:80/x",
+        "https://ex.com:443/x": "https://ex.com/x",
         "https://ex.com/a?ref=tw&q=1&fbclid=9": "https://ex.com/a?q=1",
     }
     df = _df(spark, [(u,) for u in cases], "url string")
