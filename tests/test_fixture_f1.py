@@ -71,12 +71,33 @@ def test_ace_fullpage_token_f1(study):
     assert token_f1(expected, text) >= ACE_FULLPAGE_FLOOR
 
 
-def test_default_mode_beats_ace_noise():
-    """Sanity: default (boilerplate-strip) mode keeps the main content
-    tokens of the consistent ace fixture while emitting far less text
-    than the raw dump — the 100 TB-use-case behavior."""
-    data, expected = _fixture("6dYthnbocsU4", "ace")
+# Ratchet (round 3): measured 0.8274 / 0.8424 on the two consistent
+# ace fixtures in default boilerplate-strip mode.
+ACE_DEFAULT_FLOOR = 0.82
+
+
+@pytest.mark.parametrize("study", ["6dYthnbocsU4", "6nTazJPV7TRM"])
+def test_default_mode_beats_ace_noise(study):
+    """Default (boilerplate-strip) mode keeps the main content tokens
+    of BOTH consistent ace fixtures while emitting far less text than
+    the raw dump — the 100 TB-use-case behavior."""
+    data, expected = _fixture(study, "ace")
     strip_text, _ = extract_html(data, mode="html")
     full_text, _ = extract_html(data, mode="fullpage")
     assert len(strip_text) < len(full_text)
-    assert token_f1(expected, strip_text) >= 0.75
+    assert token_f1(expected, strip_text) >= ACE_DEFAULT_FLOOR
+
+
+def test_excluded_ace_fixtures_documented():
+    """The two remaining ace fixtures are REPORTED, not asserted, with
+    reasons verifiable in the reference repo itself:
+    - 3qT3nzK9bLZ7: source/*.html is a ScienceDirect rendering but
+      processed/ace/text.txt is a PMC dump (different page) — no
+      extractor can converge on a different document.
+    - G6qSwgM5koZp: the source page is a JavaScript wall (content is
+      not present in the HTML payload); measured fullpage F1 ~0.35 —
+      asserted only as a non-regression floor of 0.30 here so a parser
+      break still surfaces."""
+    data, expected = _fixture("G6qSwgM5koZp", "ace")
+    text, _ = extract_html(data, mode="fullpage")
+    assert token_f1(expected, text) >= 0.30
