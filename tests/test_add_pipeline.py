@@ -69,9 +69,27 @@ def test_add_pipeline_warns_on_dangling(spark, caplog):
     rows = [("u1", "demo", "1.0.0", "aaa", dt.date(2023, 1, 1), "p")]
     with caplog.at_level(logging.WARNING):
         add_pipeline(
-            _pages(spark, ["u1", "u2"]), _results(spark, rows), extractor="demo"
+            _pages(spark, ["u1", "u2"]),
+            _results(spark, rows),
+            extractor="demo",
+            warn_dangling=True,  # opt-in: the count is a second full pass
         ).collect()
     assert any("no upstream result" in m for m in caplog.messages)
+
+
+def test_add_pipeline_default_runs_no_extra_count_job(spark):
+    """warn_dangling defaults OFF: building the attach plan must not
+    trigger any Spark job (the count was an eager full pass over the
+    join output before any consumer ran)."""
+    import datetime as dt
+
+    rows = [("u1", "demo", "1.0.0", "aaa", dt.date(2023, 1, 1), "p")]
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = add_pipeline(_pages(spark, ["u1", "u2"]), _results(spark, rows), extractor="demo")
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before)  # plan construction is lazy
+    assert out.where("payload IS NULL").count() == 1  # consumer-side dangling count
 
 
 def test_downstream_consumes_upstream_groups(spark):
