@@ -153,10 +153,13 @@ def _q_minhash_pairs(spark, sf):
 
 
 def _q_dedup_clusters(spark, sf):
-    """Connected components (union-find) over the MinHash-LSH candidate
-    pairs — emits dedup *clusters*, not just pairs."""
+    """Connected components over the MinHash-LSH candidate pairs —
+    emits dedup *clusters*, not just pairs. Uses the large-star/
+    small-star formulation (O(log² component) rounds independent of
+    graph diameter — the 10^12-doc path); the min-label-propagation
+    twin produces identical labels and stays pytest-equivalence-checked."""
     pairs = dedup.minhash_lsh_pairs(_docs_with_neardups(spark, sf))
-    return dedup.connected_components(pairs)
+    return dedup.connected_components_star(pairs)
 
 
 def _q_simhash(spark, sf):

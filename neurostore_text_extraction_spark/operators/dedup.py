@@ -238,7 +238,16 @@ def connected_components(
     Iterative min-label propagation: each round every node takes the
     min of its own label and its neighbors' labels; converges in
     O(graph diameter) rounds (dedup clusters are shallow stars).
-    localCheckpoint truncates the exploding join lineage per round."""
+    localCheckpoint truncates the exploding join lineage per round.
+
+    Convergence is detected with a ``_changed`` flag computed INSIDE
+    the round's own transformation (labels are monotone non-increasing,
+    so new < old ⇔ changed) probed with a ``limit(1)`` existence check
+    over the just-checkpointed frame — not a full labels⨝labels count
+    job per round, which at 10^12 nodes would double each round's
+    shuffle volume just to decide termination. For graphs with deep
+    diameter at extreme scale, see :func:`connected_components_star`
+    (O(log²) rounds)."""
     edges = pairs.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
     ).unionAll(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
@@ -262,20 +271,106 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if n_changed == 0:
+        converged = new_labels.where(F.col("_changed")).limit(1).isEmpty()
+        labels = new_labels.drop("_changed")
+        if converged:
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _edge_digest(edges: DataFrame) -> tuple:
+    """Commutative fingerprint of an edge set — (count, xor of row
+    hashes): one map-side-combinable aggregate, no sort, no collect.
+    Used as the fixpoint test between star rounds."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id) by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the 10^12-scale path: converges in O(log²
+    component size) rounds regardless of graph DIAMETER, where plain
+    min-label propagation (:func:`connected_components`) needs
+    O(diameter) rounds and stalls on chain-shaped duplicate graphs.
+
+    Both steps are expressed as groupBy-min + equi-join (no neighbor
+    lists are ever materialized, so a 10^7-degree hub never lands in
+    one task's memory):
+
+    - large-star: every node attaches its LARGER neighbors to its
+      current minimum (including itself) — emit (v, m(u)) for v > u,
+      m(u) = min(N(u) ∪ {u});
+    - small-star: with edges directed big→small, every node re-attaches
+      its smaller neighbors and itself to its minimum — emit (v, mn(u))
+      for v ∈ N⁻(u) ∪ {u}, v ≠ mn(u).
+
+    Termination = edge-set fixpoint, detected by a commutative
+    count+xor digest (one aggregate per round, no edge⨝edge compare).
+    At the fixpoint the edges form stars (member → component min)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _edge_digest(edges)
+    for _ in range(max_iter):
+        # --- large-star ---------------------------------------------
+        nb = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            nb.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+        )
+        large = (
+            nb.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star (edges now oriented big -> small) ------------
+        canon = large.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        mn = canon.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            canon.join(mn, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(mn.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = small
+        cur = _edge_digest(edges)
+        if cur == prev:
+            break
+        prev = cur
+    members = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = edges.select(
+        F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")
+    ).distinct()
+    return members.unionAll(roots).distinct()
 
 
 def _bit_of_md5(col, bit: int):

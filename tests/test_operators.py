@@ -201,3 +201,53 @@ def test_pick_latest_semver(spark):
     )
     got = pick_latest(df, ["extractor"], [semver_key(F.col("version"))]).collect()
     assert got[0].version == "1.10.0"  # numeric, not lexicographic
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """large-star/small-star must produce the identical (node -> min
+    of component) mapping as min-label propagation on seeded random
+    graphs, including singleton-pair and multi-cluster shapes."""
+    import random
+
+    rng = random.Random(42)
+    nodes = list(range(120))
+    edges = set()
+    while len(edges) < 150:
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    ref = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert got == ref
+
+
+def test_connected_components_star_deep_chain(spark):
+    """A 120-node path has diameter 119: min-label propagation cannot
+    converge within its default 25 rounds, large-star/small-star
+    finishes in O(log^2) rounds — the reason it is the 10^12 path."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(120)}
+
+
+def test_connected_components_star_string_ids(spark):
+    """ids need not be numeric — min is lexicographic for strings."""
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
