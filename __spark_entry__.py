@@ -176,12 +176,16 @@ def _q_ngram_jaccard(spark, sf):
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def _q_lang_id(spark, sf):
-    return textquality.lang_id(_t(spark, sf, "documents"))
-
-
 def _q_quality(spark, sf):
-    return textquality.quality_features(_t(spark, sf, "documents"))
+    """Quality scoring + language-ID per doc — both text-analysis
+    operators over the documents table, one row per doc, exercised
+    through their real APIs and joined into one registry entry (the
+    driver records at most ~50 correctness rows; merging same-grain
+    feature queries keeps every operator oracled)."""
+    docs = _t(spark, sf, "documents")
+    return textquality.quality_features(docs).join(
+        textquality.lang_id(docs), "doc_id"
+    )
 
 
 def _q_token_counts(spark, sf):
@@ -427,6 +431,38 @@ def _q_ann_lsh(spark, sf):
     return out.select(
         "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
     )
+
+
+_NDUP_PLANES = 8  # 256 buckets/table: self-join stays sparse as N grows
+_NDUP_TABLES = 4
+
+
+def _q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-duplicate pairs (task-brief dedup family):
+    LSH self-join + exact cosine re-rank. Near-dups are synthesized
+    deterministically — every vec_id % 10 == 0 vector gets a copy with
+    +0.1 on its first coordinate (cosine ≈ 0.995 to its unit-norm
+    source — recall ≈ 1 at the 8-plane/4-table config, while
+    random uniform pairs stay ≪ 0.9), so the expected pair set is
+    closed-form for the oracle."""
+    emb = _t(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", v.alias("embedding"))
+    perturbed = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(v, 1) + F.lit(0.1)),
+            F.slice(v, 2, _LSH_DIM - 1),
+        ).alias("embedding"),
+    )
+    out = similarity.embedding_neardup_pairs(
+        base.unionAll(perturbed),
+        dim=_LSH_DIM,
+        threshold=0.9,
+        n_planes=_NDUP_PLANES,
+        n_tables=_NDUP_TABLES,
+    )
+    return out.select("doc_a", "doc_b", F.round("cosine", 4).alias("cosine"))
 
 
 def _q_mean_pool(spark, sf):
@@ -1081,7 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
-        "lang_id": _q_lang_id,
+        "dedup_embedding": _q_dedup_embedding,
         "quality_features": _q_quality,
         "token_counts": _q_token_counts,
         "fingerprints": _q_fingerprints,
@@ -1207,14 +1243,17 @@ def _lang_hits_sql(lang: str) -> str:
     return f"len(list_filter({_TOKS}, x -> x in ({markers})))"
 
 
-def _plane_weights_sql() -> str:
-    """Literal hyperplane arrays for the LSH oracle: one row per
+def _plane_weights_sql(n_tables: int | None = None, n_planes: int | None = None) -> str:
+    """Literal hyperplane arrays for the LSH oracles: one row per
     (table, plane) from the same deterministic generator the Spark
-    side uses (similarity.plane_weights)."""
+    side uses (similarity.plane_weights). Defaults to the ann_lsh
+    config; the near-dup oracle passes its own shape."""
+    n_tables = _LSH_TABLES if n_tables is None else n_tables
+    n_planes = _LSH_PLANES if n_planes is None else n_planes
     rows = []
-    for t in range(_LSH_TABLES):
-        ws = similarity.plane_weights(_LSH_DIM, _LSH_PLANES, table=t)
-        for p in range(_LSH_PLANES):
+    for t in range(n_tables):
+        ws = similarity.plane_weights(_LSH_DIM, n_planes, table=t)
+        for p in range(n_planes):
             rows.append(
                 f"({t}, {p}, [" + ", ".join(repr(x) for x in ws[p]) + "]::DOUBLE[])"
             )
@@ -1428,20 +1467,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
         """,
-        "lang_id": f"""
-            WITH h AS (
-              SELECT doc_id,
-                     {_lang_hits_sql('en')} AS h_en, {_lang_hits_sql('es')} AS h_es,
-                     {_lang_hits_sql('de')} AS h_de, {_lang_hits_sql('fr')} AS h_fr
-              FROM documents
+        "dedup_embedding": f"""
+            WITH pw AS (SELECT * FROM {_plane_weights_sql(_NDUP_TABLES, _NDUP_PLANES)}),
+            base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            pert AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     [emb[1] + 0.1] || emb[2:{_LSH_DIM}] AS emb
+              FROM base WHERE vec_id % 10 = 0
+            ),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+            bucketed AS (
+              SELECT a.vec_id, pw.t,
+                     SUM(CASE WHEN list_inner_product(a.emb, pw.w) > 0
+                              THEN (1 << pw.p) ELSE 0 END)::INT AS bucket
+              FROM allv a, pw GROUP BY a.vec_id, a.emb, pw.t
+            ),
+            capped AS (
+              SELECT vec_id, t, bucket FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY t, bucket) AS bsz FROM bucketed
+              ) WHERE bsz <= 10000
+            ),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+              FROM capped a JOIN capped b
+                ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ),
+            scored AS (
+              SELECT doc_a, doc_b, list_cosine_similarity(va.emb, vb.emb) AS cosine
+              FROM cand
+              JOIN allv va ON va.vec_id = doc_a
+              JOIN allv vb ON vb.vec_id = doc_b
             )
-            SELECT doc_id, CASE
-              WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
-              WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
-              WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
-              WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
-              ELSE 'fr' END AS lang_pred
-            FROM h
+            SELECT doc_a, doc_b, round(cosine, 4) AS cosine
+            FROM scored WHERE cosine >= 0.9
         """,
         "quality_features": f"""
             WITH b AS (
@@ -1464,16 +1522,35 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 0.0 END AS punct_ratio
               FROM b
             )
-            SELECT doc_id, n_tokens::BIGINT AS n_tokens,
-                   round(mean_token_len, 4) AS mean_token_len,
-                   round(stopword_ratio, 4) AS stopword_ratio,
-                   round(punct_ratio, 4) AS punct_ratio,
-                   round(
-                     (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
-                     + (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 0.2 ELSE 0.0 END)
-                     + (CASE WHEN stopword_ratio >= 0.05 THEN 0.2 ELSE 0.0 END)
-                     + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END), 2) AS quality_score
-            FROM f
+            ,
+            q AS (
+              SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+                     round(mean_token_len, 4) AS mean_token_len,
+                     round(stopword_ratio, 4) AS stopword_ratio,
+                     round(punct_ratio, 4) AS punct_ratio,
+                     round(
+                       (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+                       + (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 0.2 ELSE 0.0 END)
+                       + (CASE WHEN stopword_ratio >= 0.05 THEN 0.2 ELSE 0.0 END)
+                       + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END), 2) AS quality_score
+              FROM f
+            ),
+            h AS (
+              SELECT doc_id,
+                     {_lang_hits_sql('en')} AS h_en, {_lang_hits_sql('es')} AS h_es,
+                     {_lang_hits_sql('de')} AS h_de, {_lang_hits_sql('fr')} AS h_fr
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id, CASE
+                WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+                WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+              FROM h
+            )
+            SELECT q.*, l.lang_pred FROM q JOIN l USING (doc_id)
         """,
         "token_counts": f"""
             SELECT doc_id,

@@ -171,6 +171,74 @@ def lsh_topk(
     )
 
 
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int = 10_000,
+    eager: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (task brief's dedup list):
+    hyperplane-LSH self-join + exact cosine re-rank — the embedding
+    analogue of ``dedup.minhash_lsh_pairs``.
+
+    - candidates = vectors sharing a sign-signature bucket in ≥1 of
+      ``n_tables`` tables (equi-join on (table, bucket)); a true pair
+      at angle θ collides per table with (1 − θ/π)^n_planes, misses
+      only in all L tables — at cosine 0.9 the 8×4 default gives ~0.75
+      recall, at 0.99 (true near-dups) ≥ 0.999. The bucket frame
+      carries only (id, table, bucket); vectors are re-joined per PAIR.
+    - degenerate buckets (zero vectors, all-same-sign regions) are
+      dropped by the same groupBy-count → broadcast anti-join cap as
+      the text-dedup operators — never a window over the bucket key.
+    - ``eager`` follows the dedup contract: persist inputs for the
+      call, materialize the (small) pair set, unpersist before return."""
+    from .dedup import _drop_over_cap_keys, _materialize
+
+    vecs = vectors.select(F.col(id_col), F.col(vec_col))
+    if eager:
+        vecs = vecs.persist()
+    entries = [
+        F.struct(
+            F.lit(t).alias("_tbl"),
+            lsh_bucket_col(F.col(vec_col), dim, n_planes, table=t).alias("_bkt"),
+        )
+        for t in range(n_tables)
+    ]
+    vb = vecs.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("_e")
+    ).select(id_col, "_e._tbl", "_e._bkt")
+    capped = _drop_over_cap_keys(vb, ["_tbl", "_bkt"], bucket_cap)
+    a = capped.select(F.col(id_col).alias("doc_a"), "_tbl", "_bkt")
+    b = capped.select(F.col(id_col).alias("doc_b"), "_tbl", "_bkt")
+    pairs = (
+        a.join(b, ["_tbl", "_bkt"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    va = vecs.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
+    vb2 = vecs.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
+    result = (
+        pairs.join(va, "doc_a")
+        .join(vb2, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            cosine_col(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    if eager:
+        result = _materialize(result)
+        vecs.unpersist()
+    return result
+
+
 def embedding_mean_pool(
     chunks: DataFrame, id_col: str = "doc_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -239,3 +239,48 @@ def test_streaming_ingest(spark, tmp_path):
     stream_extract(spark, input_dir, store, str(tmp_path / "ckpt2"), num_partitions=4)
     assert read_results(spark, store).count() == 40
     gen.unpersist()
+
+
+def test_embedding_neardup_pairs(spark):
+    """LSH self-join near-dup: a tiny perturbation of a unit vector is
+    found above threshold, an unrelated vector is not; intermediates
+    are unpersisted (same eager contract as the text dedup ops)."""
+    import math
+
+    from neurostore_text_extraction_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [1.0, 0.05] + [0.0] * (dim - 2)
+    far = [0.0] * (dim - 1) + [1.0]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id long, embedding array<double>"
+    )
+    rows = embedding_neardup_pairs(df, dim=dim, threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
+    expected = 1.0 / math.sqrt(1.0 + 0.05 * 0.05)
+    assert abs(rows[0].cosine - expected) < 1e-9
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty()
+
+
+def test_embedding_neardup_bucket_cap_plan(spark):
+    """The bucket cap must be the anti-join form (no Window on the
+    bucket key) — same scale rule as the text dedup caps."""
+    from neurostore_text_extraction_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "vec_id long, embedding array<double>"
+    )
+    plan = (
+        embedding_neardup_pairs(df, dim=2, eager=False)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "LeftAnti" in plan
