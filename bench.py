@@ -116,6 +116,8 @@ def main() -> None:
         "eval_prf",
         "dedup_clusters",
         "session_windows",
+        # round-3 operators
+        "dedup_embedding",
     ]
     if not RUN_QUERIES:
         bench_queries = []
