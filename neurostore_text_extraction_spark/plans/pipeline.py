@@ -161,20 +161,14 @@ def run_extraction(
 
 def read_results(spark: SparkSession, store_root: str) -> DataFrame:
     """Latest result per url across snapshots (W3 newest-prior pick:
-    later snapshot wins — snapshot paths sort by sequence number)."""
+    later snapshot wins — snapshot paths sort by sequence number).
+    Delegates to Catalog.read_latest, the same latest-wins rule compact
+    applies, so reads are identical before/after (auto-)compaction."""
     cat = Catalog(store_root)
-    res = cat.read(spark, "results")
+    res = cat.read_latest(spark, "results", ["url"])
     if res is None:
         raise FileNotFoundError(f"no results table under {store_root}")
-    with_file = res.withColumn("_snap", F.input_file_name())
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("url").orderBy(F.col("_snap").desc())
-    return (
-        with_file.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_snap")
-    )
+    return res
 
 
 def replay_postprocess(
