@@ -85,3 +85,39 @@ def test_contamination_check(spark):
     assert got[1].n_shingles == 3 and got[1].n_contaminated == 2
     assert abs(got[1].contamination_frac - 2 / 3) < 1e-6
     assert got[2].n_contaminated == 0
+
+
+def test_canonical_url_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over a batch of
+    adversarial URLs: the canonical form must be a fixpoint, else
+    URL-level dedup keys drift depending on how many times a pipeline
+    stage normalizes. One Spark job for the whole batch."""
+    from pyspark.sql import functions as F
+
+    urls = [
+        "HTTPS://Ex.COM:443/A/b?utm_source=x&id=5#frag",
+        "http://Ex.COM:80/",
+        "http://ex.com",
+        "http://ex.com/path/",
+        "http://ex.com/path/?gclid=z",
+        "http://ex.com:8080/x",
+        "http://ex.com:443/x",
+        "https://ex.com:80/x",
+        "https://ex.com/a?ref=tw&q=1&fbclid=9",
+        "HTTPS://WWW.X.COM:443/p/?UTM_SOURCE=a&b=&c=1#z",
+        "https://x.com/%7Euser/?=bare&ok=1",
+        "https://x.com//double//slash/",
+        "https://x.com/?#",
+        "ftp://weird.example:443/path/",
+        "https://x.com/a?b=1&b=2&fbclid=&ref=",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    from neurostore_text_extraction_spark.operators.webtext import canonical_url_col
+
+    rows = (
+        df.select("url", canonical_url_col(F.col("url")).alias("c1"))
+        .select("url", "c1", canonical_url_col(F.col("c1")).alias("c2"))
+        .collect()
+    )
+    for r in rows:
+        assert r.c1 == r.c2, (r.url, r.c1, r.c2)
