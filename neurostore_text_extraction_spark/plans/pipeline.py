@@ -99,13 +99,21 @@ def run_extraction(
     # validation at base.py:1072-1095; failures flag, never abort)
     from ..operators.schemaproc import with_validity
 
-    validated = with_validity(ext, EXTRACTED_SCHEMA, out_col="_schema_ok").withColumn(
-        "valid",
-        F.col("error").isNull()
-        & F.col("_schema_ok")
-        & F.col("text").isNotNull()
-        & (F.length("text") > 0),
-    ).drop("_schema_ok")
+    validated = (
+        with_validity(ext, EXTRACTED_SCHEMA, out_col="_schema_ok")
+        .withColumn(
+            "valid",
+            F.col("error").isNull()
+            & F.col("_schema_ok")
+            & F.col("text").isNotNull()
+            & (F.length("text") > 0),
+        )
+        .drop("_schema_ok")
+        # rows carry their run's config identity (≙ the reference's
+        # <config_hash>/ output directory level): per-config results
+        # survive compaction and can be selected on read.
+        .withColumn("config_hash", F.lit(cfg))
+    )
     # One pass: write results, derive lineage/manifest from the written
     # snapshot (re-read is a cheap columnar scan; avoids caching the
     # heavy text in memory and avoids recomputing the UDF 3x).
@@ -146,29 +154,58 @@ def run_extraction(
         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("e"),
     ).first()
     if auto_compact_after is not None:
-        # results keyed by url (read_results' latest-per-url rule);
-        # manifest keyed by its full match tuple so every config's skip
-        # rows survive compaction.
-        cat.maybe_compact(spark, "results", ["url"], max_snapshots=auto_compact_after)
+        # results keyed by (url, config_hash): latest row per url per
+        # config survives, so compaction never drops another config's
+        # results; manifest keyed by its full match tuple so every
+        # config's skip rows survive; lineage/runs rows are unique per
+        # key, so their compaction is a pure file-count bound.
+        cat.maybe_compact(
+            spark, "results", ["url", "config_hash"], max_snapshots=auto_compact_after
+        )
         cat.maybe_compact(
             spark,
             "manifest",
             ["url", "input_md5", "config_hash"],
             max_snapshots=auto_compact_after,
         )
+        cat.maybe_compact(
+            spark, "lineage", ["run_id", "partition_id"], max_snapshots=auto_compact_after
+        )
+        cat.maybe_compact(spark, "runs", ["run_id"], max_snapshots=auto_compact_after)
     return RunResult(run_id, cfg, counts["n"], counts["n"], int(counts["e"] or 0), False)
 
 
-def read_results(spark: SparkSession, store_root: str) -> DataFrame:
+def read_results(
+    spark: SparkSession, store_root: str, config_hash: str | None = None
+) -> DataFrame:
     """Latest result per url across snapshots (W3 newest-prior pick:
     later snapshot wins — snapshot paths sort by sequence number).
     Delegates to Catalog.read_latest, the same latest-wins rule compact
-    applies, so reads are identical before/after (auto-)compaction."""
+    applies, so reads are identical before/after (auto-)compaction.
+
+    ``config_hash`` restricts the pick to one run configuration (≙
+    reading one ``<config_hash>/`` directory in the reference's output
+    store); default is latest-across-configs. The filter lands before
+    the window, so it prunes at the scan."""
     cat = Catalog(store_root)
-    res = cat.read_latest(spark, "results", ["url"])
-    if res is None:
+    snaps = cat.snapshots("results")
+    if not snaps:
         raise FileNotFoundError(f"no results table under {store_root}")
-    return res
+    if config_hash is None:
+        return cat.read_latest(spark, "results", ["url"])
+    df = (
+        cat.read(spark, "results")
+        .where(F.col("config_hash") == config_hash)
+        .withColumn("_snap", F.input_file_name())
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(F.col("_snap").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_snap")
+    )
 
 
 def replay_postprocess(

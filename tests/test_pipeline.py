@@ -300,3 +300,31 @@ def test_session_split_config_matches_row_groups(spark):
     shared row groups superlinearly."""
     assert spark.conf.get("spark.sql.files.maxPartitionBytes") == "8m"
     assert spark.conf.get("spark.hadoop.parquet.block.size") == str(8 * 1024 * 1024)
+
+
+def test_results_carry_config_and_survive_compaction_per_config(spark, corpus, tmp_path):
+    """Results rows carry their run's config_hash (the reference's
+    <config_hash>/ output level); compaction keyed by (url, config)
+    keeps BOTH configs' results, and read_results(config_hash=...)
+    selects one configuration."""
+    store = str(tmp_path / "store")
+    pages = pages_view(corpus).limit(20).cache()
+    pages.count()
+    r1 = run_extraction(spark, pages, store, num_partitions=4)
+    r2 = run_extraction(
+        spark, pages, store, num_partitions=4, kwargs={"variant": "b"}
+    )
+    assert r1.config_hash != r2.config_hash and not r2.skipped
+    cat = Catalog(store)
+    cat.compact(spark, "results", key_cols=["url", "config_hash"])
+    # both configs' rows survive the compaction
+    res = cat.read(spark, "results")
+    assert res.select("config_hash").distinct().count() == 2
+    assert res.count() == 40
+    # per-config read returns exactly that run's rows
+    one = read_results(spark, store, config_hash=r1.config_hash)
+    assert one.count() == 20
+    assert one.select("config_hash").distinct().first()[0] == r1.config_hash
+    # default read: one latest row per url
+    assert read_results(spark, store).groupBy("url").count().where("count > 1").count() == 0
+    pages.unpersist()
