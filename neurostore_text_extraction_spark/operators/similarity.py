@@ -171,6 +171,133 @@ def lsh_topk(
     )
 
 
+def ivf_build(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer (task brief: "an IVF or LSH-bucketed
+    variant as the scale path"): deterministic Lloyd k-means over the
+    embedding column, returning (assigned vectors, centroids).
+
+    - init: the ``n_centroids`` rows with the smallest ids (ordered,
+      deterministic — no RNG, so runs are reproducible and testable);
+    - each iteration: one broadcast of the centroid list as literals →
+      per-row argmin over squared L2 (a codegen'd fold per centroid;
+      no shuffle) → one groupBy(centroid) mean (map-side combinable).
+      Centroids (n_centroids × dim floats) come back to the driver —
+      tiny by construction, the corpus never does.
+    - returns the corpus with a ``_list`` (inverted-list id) column;
+      at 10^12 rows you would write it partitioned by ``_list`` so a
+      query's nprobe lists prune at the scan."""
+    centroids = [
+        list(r[vec_col])
+        for r in vectors.select(vec_col).orderBy(F.col(id_col)).limit(n_centroids).collect()
+    ]
+
+    def assign_col(cents: list[list[float]]):
+        dists = []
+        for c in cents:
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            diff2 = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), carr, lambda x, y: (x.cast("double") - y) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            dists.append(diff2)
+        arr = F.array(*dists)
+        return F.array_position(arr, F.array_min(arr)).cast("int") - 1
+
+    for _ in range(n_iters):
+        assigned = vectors.withColumn("_list", assign_col(centroids))
+        means = (
+            assigned.groupBy("_list")
+            .agg(
+                F.count("*").alias("_n"),
+                F.aggregate(
+                    F.collect_list(vec_col),
+                    F.array().cast("array<double>"),
+                    lambda acc, v: F.when(
+                        F.size(acc) == 0, v.cast("array<double>")
+                    ).otherwise(F.zip_with(acc, v, lambda a, b: a + b.cast("double"))),
+                ).alias("_sum"),
+            )
+            .select(
+                "_list",
+                F.transform(F.col("_sum"), lambda x: x / F.col("_n")).alias("_mean"),
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:  # empty lists keep their previous centroid
+            new[r["_list"]] = list(r["_mean"])
+        centroids = new
+    return vectors.withColumn("_list", assign_col(centroids)), centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: each query probes its ``nprobe`` nearest inverted
+    lists (computed on the broadcast query side), candidates are the
+    corpus rows of those lists (equi-join on ``_list`` — with the
+    corpus written partitioned by list this is partition pruning),
+    exact cosine re-ranks. Recall grows with nprobe; nprobe =
+    n_centroids degrades gracefully to exact brute force."""
+    dists = []
+    for c in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        diff2 = F.aggregate(
+            F.zip_with(F.col(vec_col), carr, lambda x, y: (x.cast("double") - y) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(diff2)
+    darr = F.array(*dists)
+    probe_lists = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    darr, lambda d, i: F.struct(d.alias("d"), i.alias("i"))
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        nprobe,
+    )
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(probe_lists).alias("_list"),
+    )
+    scored = assigned.join(F.broadcast(qb), "_list").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_col(F.col("_qvec"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("_rk").alias("rank"))
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     dim: int,

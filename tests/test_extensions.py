@@ -284,3 +284,44 @@ def test_embedding_neardup_bucket_cap_plan(spark):
     )
     assert "Window" not in plan
     assert "LeftAnti" in plan
+
+
+def test_ivf_build_and_search_recall(spark):
+    """IVF coarse-quantizer ANN: deterministic build (no RNG), probing
+    all lists equals exact brute force, and a partial probe keeps high
+    recall on clustered data while scanning a fraction of the corpus."""
+    import math
+    import random
+
+    from neurostore_text_extraction_spark.operators import similarity
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    # 4 well-separated clusters of 30 vectors each
+    for c in range(4):
+        center = [1.0 if i == c * 4 else 0.0 for i in range(dim)]
+        for j in range(30):
+            v = [x + rng.uniform(-0.05, 0.05) for x in center]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((c * 100 + j, [x / n for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = similarity.ivf_build(vecs, dim=dim, n_centroids=4, n_iters=3)
+    assigned = assigned.cache()
+    # every vector lands in a list; list count == centroid count
+    assert assigned.count() == 120
+    assert assigned.select("_list").distinct().count() <= 4
+
+    queries = vecs.where("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(vecs, queries, k=5)
+    # full probe == exact
+    full = similarity.ivf_topk(assigned, cents, queries, k=5, nprobe=4)
+    assert full.exceptAll(exact).count() == 0 and exact.exceptAll(full).count() == 0
+    # single-list probe on separated clusters: perfect recall@5 here
+    one = similarity.ivf_topk(assigned, cents, queries, k=5, nprobe=1)
+    exact_ids = {(r.query_id, r.vec_id) for r in exact.collect()}
+    one_ids = {(r.query_id, r.vec_id) for r in one.collect()}
+    assert len(one_ids & exact_ids) / len(exact_ids) == 1.0
+    assigned.unpersist()
