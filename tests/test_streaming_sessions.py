@@ -101,3 +101,57 @@ def test_stateful_sessionization_stream(spark, tmp_path):
     assert got["u1"] == (_mins(0), _mins(10), 2)
     assert got["u2"] == (_mins(5), _mins(5), 1)
     assert "u3" not in got
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark-based crawl dedup: byte-identical
+    re-fetches of a url are dropped inside the horizon, a re-crawl with
+    CHANGED bytes passes (content-aware key), state stays bounded by
+    the watermark (unlike stream-side dropDuplicates)."""
+    from datetime import datetime, timedelta
+
+    from neurostore_text_extraction_spark.streaming.dedup import dedup_stream
+
+    base = datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        ("u1", base, b"<p>one</p>"),
+        ("u1", base + timedelta(minutes=5), b"<p>one</p>"),  # dup bytes
+        ("u1", base + timedelta(minutes=10), b"<p>CHANGED</p>"),  # new bytes
+        ("u2", base, b"<p>two</p>"),
+        ("u2", base + timedelta(minutes=2), b"<p>two</p>"),  # dup bytes
+    ]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    ).coalesce(1).write.parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp, html binary")
+        .parquet(in_dir)
+    )
+    out = dedup_stream(stream, watermark="30 minutes", by_content=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.url, bytes(r.html))
+        for r in spark.sql("select * from dedup_sink").collect()
+    }
+    assert got == {
+        ("u1", b"<p>one</p>"),
+        ("u1", b"<p>CHANGED</p>"),
+        ("u2", b"<p>two</p>"),
+    }
+    # batch fallback: same operator, same answer, no streaming state
+    batch = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    bgot = {
+        (r.url, bytes(r.html))
+        for r in dedup_stream(batch, by_content=True).collect()
+    }
+    assert bgot == got
