@@ -215,21 +215,20 @@ def ivf_build(
 
     for _ in range(n_iters):
         assigned = vectors.withColumn("_list", assign_col(centroids))
+        # per-dimension mean via posexplode + avg: every aggregation
+        # buffer is a scalar, and the final collect_list is bounded by
+        # ``dim`` — NEVER collect_list of whole vectors per cluster,
+        # which would materialize an entire inverted list (N/k rows at
+        # corpus scale) inside one aggregation buffer.
         means = (
-            assigned.groupBy("_list")
-            .agg(
-                F.count("*").alias("_n"),
-                F.aggregate(
-                    F.collect_list(vec_col),
-                    F.array().cast("array<double>"),
-                    lambda acc, v: F.when(
-                        F.size(acc) == 0, v.cast("array<double>")
-                    ).otherwise(F.zip_with(acc, v, lambda a, b: a + b.cast("double"))),
-                ).alias("_sum"),
-            )
+            assigned.select("_list", F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
+            .groupBy("_list", "_pos")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+            .groupBy("_list")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"))
             .select(
                 "_list",
-                F.transform(F.col("_sum"), lambda x: x / F.col("_n")).alias("_mean"),
+                F.transform(F.col("_pm"), lambda s: s["_m"]).alias("_mean"),
             )
             .collect()
         )
