@@ -55,6 +55,7 @@ def run_extraction(
     resume: bool = True,
     auto_compact_after: int | None = 16,
     corpus_scoped: bool = False,
+    salt: bool = True,
 ) -> RunResult:
     """See module docstring. ``auto_compact_after``: once the results/
     manifest snapshot history exceeds this many snapshots it is
@@ -92,7 +93,10 @@ def run_extraction(
     if todo.limit(1).isEmpty():
         return RunResult(run_id, cfg, 0, 0, 0, True)
 
-    ext = extract_pages(todo, num_partitions=num_partitions)
+    # ``salt`` is an execution detail (same rows either way), so it is
+    # deliberately NOT part of the config hash — toggling it must not
+    # invalidate the cache.
+    ext = extract_pages(todo, num_partitions=num_partitions, salt=salt)
     # per-row validity = no kernel error AND non-empty text AND schema
     # conformance (required-marked fields non-null — the generic
     # StructType-walk validator, ≙ the reference's per-study pydantic

@@ -28,20 +28,30 @@ def get_spark(
     app_name: str = "neurostore_text_extraction_spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    master: str | None = "auto",
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
-    ``cores`` defaults to $SPARK_GRAFT_CPUS or all cores. On a real
-    cluster the master/memory settings come from spark-submit; only the
-    SQL confs below matter there.
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all cores.
+
+    ``master="auto"`` (default) runs local[cores] — the test/bench
+    path. ``master=None`` sets NO master, so the one supplied by
+    ``spark-submit --master …`` wins (code-set properties outrank the
+    submit command line; see ``scripts/submit_extract.py``) — the
+    multi-executor-cluster path, where only the SQL confs below apply
+    and executor counts/memory come from the submit invocation.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cores) * 2, 8)
+    builder = SparkSession.builder
+    if master == "auto":
+        builder = builder.master(f"local[{cores}]")
+    elif master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
