@@ -93,8 +93,7 @@ def main() -> None:
     # --- representative operator queries (driver-contract entries) ---
     qs = entry.queries()
     bench_queries = [
-        "word_count",
-        "word_deviance",
+        "word_stats",
         "tfidf",
         "dedup_minhash_lsh",
         "dedup_simhash",
@@ -119,6 +118,8 @@ def main() -> None:
         "session_windows",
         # round-3 operators
         "dedup_embedding",
+        "line_dedup",
+        "lm_perplexity",
     ]
     if not RUN_QUERIES:
         bench_queries = []

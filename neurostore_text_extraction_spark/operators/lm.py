@@ -1,0 +1,154 @@
+"""Language-model perplexity scoring (CCNet-style quality filtering —
+the third leg of the standard web-corpus triage next to repetition
+features and contamination checks; reference scope: the extraction
+repo has no LM stage, this is part of the "operations a large-scale
+training-data pipeline would need" brief).
+
+CCNet scores every document with a KenLM 5-gram model and keeps the
+low-perplexity head/middle. No KenLM in this environment, so the model
+is a **bigram MLE with add-one smoothing trained on a reference
+corpus** — the same train-then-score shape, expressed as DataFrame
+algebra end to end:
+
+    p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+
+    doc score  = mean over the doc's bigrams of -ln p(w2 | w1)
+    perplexity = exp(score)
+
+Tokenization matches the repo-wide sklearn convention (lowercased runs
+of >=2 word chars) so token streams agree with tfidf/quality oracles.
+
+Scale shape (10^12 docs):
+
+- **Train** (:func:`train_bigram_lm`): explode bigrams → one
+  map-side-combinable groupBy for bigram counts; context (w1) totals
+  and the vocabulary size V derive from the *bigram* count table
+  (vocabulary-sized, not corpus-sized), so training is one shuffle
+  over the exploded corpus + one over the vocabulary.
+- **Cap**: ``max_vocab`` keeps only the top-V bigrams by count
+  (deterministic count-desc / key-asc TakeOrdered). At CCNet scale the
+  LM is trained on a sample (e.g. one shard) and the capped count
+  tables are MB-sized → both sides **broadcast** in the scoring join;
+  the corpus scan stays shuffle-free except the final per-doc mean
+  (map-side combinable on doc id).
+- **Score** (:func:`score_perplexity`): unseen bigram backs off to the
+  context row (c=0 numerator); unseen context backs off to 1/V — every
+  doc gets a finite score, so the operator never drops rows on OOV.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from .tfidf import tokens_col
+
+
+def bigrams_col(text_col: str = "text"):
+    """Adjacent-token bigrams as 'w1 w2' strings (native zip_with over
+    two slices; empty/1-token docs yield an empty array)."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+
+
+@dataclass
+class BigramLM:
+    """Count tables of a fitted bigram model (both vocabulary-sized).
+
+    ``bigram_counts``: (w1, w2, c) rows; ``context_counts``: (w1, c1)
+    rows summed over the *kept* bigrams so add-one probabilities stay a
+    proper distribution after a ``max_vocab`` cap; ``vocab_size``: V =
+    distinct unigrams observed in either bigram slot."""
+
+    bigram_counts: DataFrame
+    context_counts: DataFrame
+    vocab_size: int
+
+
+def train_bigram_lm(
+    corpus: DataFrame, text_col: str = "text", max_vocab: int | None = None
+) -> BigramLM:
+    """One groupBy over the exploded corpus bigrams; everything
+    downstream operates on the vocabulary-sized count table."""
+    bg = (
+        corpus.select(F.explode(bigrams_col(text_col)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    if max_vocab is not None:
+        bg = bg.orderBy(F.col("c").desc(), F.col("bg").asc()).limit(max_vocab)
+    split = bg.select(
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
+        "c",
+    )
+    # cache: vocab_size + context totals + the scoring join all read it
+    split = split.localCheckpoint(eager=True)
+    ctx = split.groupBy("w1").agg(F.sum("c").cast("long").alias("c1"))
+    vocab = (
+        split.select(F.col("w1").alias("w"))
+        .unionAll(split.select(F.col("w2").alias("w")))
+        .distinct()
+        .count()
+    )
+    return BigramLM(bigram_counts=split, context_counts=ctx, vocab_size=int(vocab))
+
+
+def score_perplexity(
+    docs: DataFrame,
+    lm: BigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc mean negative log-likelihood and perplexity under
+    ``lm``: (id, n_bigrams, avg_neg_logp, perplexity). Docs with <2
+    tokens have no bigrams → n_bigrams 0, NULL scores (callers filter
+    or impute; CCNet drops them).
+
+    Both count tables are vocabulary-sized → broadcast joins; the only
+    shuffle over the corpus is the final doc-id aggregation."""
+    v = float(lm.vocab_size)
+    doc_bg = docs.select(
+        F.col(id_col), F.explode(bigrams_col(text_col)).alias("bg")
+    ).select(
+        id_col,
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
+    )
+    joined = (
+        doc_bg.join(F.broadcast(lm.bigram_counts), ["w1", "w2"], "left")
+        .join(F.broadcast(lm.context_counts), ["w1"], "left")
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(v))
+                )
+            ).alias("neg_logp"),
+        )
+    )
+    scored = joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.avg("neg_logp").alias("avg_neg_logp"),
+    )
+    # left join back so 0-bigram docs keep a row
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col("avg_neg_logp"),
+            F.exp(F.col("avg_neg_logp")).alias("perplexity"),
+        )
+    )

@@ -192,6 +192,93 @@ def repetition_features(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Inter-document line-level dedup (C4 §2.1 / RefinedWeb-style):
+    drop every non-blank line whose trimmed form appears in more than
+    ``max_doc_freq`` distinct documents (navigation chrome, cookie
+    banners, copyright footers), then reassemble each document with its
+    surviving lines in original order.
+
+    Returns one row per input doc: ``(id, clean_text, n_lines_kept,
+    n_lines_dropped)``. Blank lines are structural and always kept (and
+    not counted). Docs with NULL text pass through with NULL
+    clean_text.
+
+    Scale shape (10^12 docs):
+
+    - line key frequencies: ``distinct(doc, key) → groupBy(key).count``
+      — both map-side combinable, one shuffle on the line key;
+    - the over-frequency key set is the *boilerplate* of the crawl —
+      tiny relative to the corpus — so it is **broadcast** and removed
+      with a ``left_anti`` join: the heavy exploded-lines frame never
+      shuffles a second time (same anti-join-cap pattern as the dedup
+      guards; never a ``count().over(Window)``, which would funnel the
+      most common line into one task);
+    - reassembly is one groupBy on the doc id with an array_sort over
+      (pos, line) — bounded by lines-per-doc, not corpus size.
+    """
+    base = df.select(F.col(id_col), F.col(text_col).alias("_text"))
+    lines = base.where(F.col("_text").isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col("_text"), "\n")).alias("pos", "line"),
+    )
+    keyed = lines.withColumn("_key", F.trim(F.col("line")))
+    # distinct-doc frequency per non-blank line key (two map-side
+    # combinable aggs: dedup (doc, key) first, then count per key)
+    over_cap = (
+        keyed.where(F.col("_key") != "")
+        .select(id_col, "_key")
+        .distinct()
+        .groupBy("_key")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") > max_doc_freq)
+        .select("_key")
+    )
+    kept = keyed.join(
+        F.broadcast(over_cap).withColumnRenamed("_key", "_drop_key"),
+        (F.col("_key") == F.col("_drop_key")) & (F.col("_key") != ""),
+        "left_anti",
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("_key") != "", 1).otherwise(0))
+        .cast("long")
+        .alias("n_lines_kept"),
+    )
+    totals = keyed.groupBy(id_col).agg(
+        F.sum(F.when(F.col("_key") != "", 1).otherwise(0))
+        .cast("long")
+        .alias("_n_total")
+    )
+    return (
+        base.join(reassembled, id_col, "left")
+        .join(totals, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_text").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("clean_text"), F.lit("")))
+            .alias("clean_text"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias(
+                "n_lines_kept"
+            ),
+            (F.coalesce(F.col("_n_total"), F.lit(0)) - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )
+
+
 def contamination_check(
     df: DataFrame,
     benchmark: DataFrame,

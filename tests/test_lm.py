@@ -1,0 +1,83 @@
+"""Bigram-LM perplexity scoring (CCNet-style quality filter):
+hand-computed probabilities, OOV back-off, vocab cap determinism, and
+a plan assert that the scoring joins are broadcasts (the corpus scan
+must stay shuffle-free up to the per-doc mean)."""
+
+import math
+
+import pytest
+
+from neurostore_text_extraction_spark.operators import lm
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id int, text string"
+    )
+    return lm.train_bigram_lm(corpus)
+
+
+def test_train_counts(model):
+    counts = {
+        (r["w1"], r["w2"]): r["c"] for r in model.bigram_counts.collect()
+    }
+    # bigrams: (the,cat) x2, (cat,sat), (cat,ran)
+    assert counts == {("the", "cat"): 2, ("cat", "sat"): 1, ("cat", "ran"): 1}
+    ctx = {r["w1"]: r["c1"] for r in model.context_counts.collect()}
+    assert ctx == {"the": 2, "cat": 2}
+    # vocab = {the, cat, sat, ran}
+    assert model.vocab_size == 4
+
+
+def test_score_known_and_oov(spark, model):
+    docs = spark.createDataFrame(
+        [(10, "the cat"), (11, "the dog"), (12, "zz")], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in lm.score_perplexity(docs, model).collect()}
+    # p(cat|the) = (2+1)/(2+4) = 0.5
+    assert got[10]["n_bigrams"] == 1
+    assert got[10]["avg_neg_logp"] == pytest.approx(-math.log(0.5))
+    assert got[10]["perplexity"] == pytest.approx(2.0)
+    # unseen bigram with seen context: p(dog|the) = (0+1)/(2+4)
+    assert got[11]["avg_neg_logp"] == pytest.approx(-math.log(1 / 6))
+    # <2 tokens → no bigrams, NULL scores, row preserved
+    assert got[12]["n_bigrams"] == 0 and got[12]["avg_neg_logp"] is None
+
+
+def test_oov_context_backs_off_to_uniform(spark, model):
+    docs = spark.createDataFrame([(1, "qq ww")], "doc_id int, text string")
+    got = lm.score_perplexity(docs, model).collect()[0]
+    # unseen context: p = (0+1)/(0+V) = 1/4
+    assert got["avg_neg_logp"] == pytest.approx(-math.log(1 / 4))
+
+
+def test_lower_perplexity_for_in_domain_text(spark, model):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "sat ran the zz qq")], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r["perplexity"] for r in lm.score_perplexity(docs, model).collect()}
+    assert got[1] < got[2]
+
+
+def test_max_vocab_cap_deterministic(spark):
+    corpus = spark.createDataFrame(
+        [(1, "aa bb aa bb aa cc")], "doc_id int, text string"
+    )
+    # bigram counts: (aa,bb)x2, (bb,aa)x2, (aa,cc)x1 → cap 2 keeps the
+    # two count-2 bigrams (tie broken by key asc)
+    model = lm.train_bigram_lm(corpus, max_vocab=2)
+    kept = sorted((r["w1"], r["w2"]) for r in model.bigram_counts.collect())
+    assert kept == [("aa", "bb"), ("bb", "aa")]
+
+
+def test_scoring_plan_broadcasts_counts(spark, model):
+    docs = spark.createDataFrame([(1, "the cat")], "doc_id int, text string")
+    plan = (
+        lm.score_perplexity(docs, model)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LeftOuter" in plan  # back-off joins are left outer...
+    assert plan.count("broadcast") >= 2  # ...and both count tables broadcast
