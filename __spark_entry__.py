@@ -225,8 +225,29 @@ def _q_quality(spark, sf):
     driver records at most ~50 correctness rows; merging same-grain
     feature queries keeps every operator oracled)."""
     docs = _t(spark, sf, "documents")
-    return textquality.quality_features(docs).join(
-        textquality.lang_id(docs), "doc_id"
+    # the synthetic corpus has no sentence punctuation / bullets /
+    # code braces, so the C4+Gopher flags are exercised over a
+    # deterministically varied wrapper (same construction in the SQL
+    # twin) — every rule fires on some docs and not others
+    varied = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" End one. End two. End three.")
+            ).otherwise(F.lit(" no sentence end")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" {")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\n- bullet javascript line\nends with ..."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        textquality.quality_features(docs)
+        .join(textquality.lang_id(docs), "doc_id")
+        .join(textquality.c4_gopher_filters(varied), "doc_id")
     )
 
 
@@ -1666,7 +1687,94 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'fr' END AS lang_pred
               FROM h
             )
-            SELECT q.*, l.lang_pred FROM q JOIN l USING (doc_id)
+            ,
+            cg_varied AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                     || (CASE WHEN doc_id % 3 = 0 THEN ' End one. End two. End three.'
+                              ELSE ' no sentence end' END)
+                     || (CASE WHEN doc_id % 5 = 0 THEN ' lorem ipsum' ELSE '' END)
+                     || (CASE WHEN doc_id % 7 = 0 THEN ' {{' ELSE '' END)
+                     || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- bullet javascript line'
+                              || chr(10) || 'ends with ...' ELSE '' END)
+                     AS text
+              FROM documents
+            ),
+            cg_base AS (
+              SELECT doc_id, coalesce(text, '') AS t, lower(coalesce(text, '')) AS lt,
+                     list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                 w -> w != '') AS words,
+                     list_filter(string_split(coalesce(text, ''), chr(10)),
+                                 l -> trim(l) != '') AS lines
+              FROM cg_varied
+            ),
+            cg_f AS (
+              SELECT doc_id,
+                len(words) AS n_words,
+                len(regexp_extract_all(t, '[^.!?]+[.!?]')) AS n_sentences,
+                CASE WHEN len(words) > 0 THEN
+                  list_sum(list_transform(words, w -> length(w))) / CAST(len(words) AS DOUBLE)
+                ELSE 0.0 END AS mean_word_len,
+                CASE WHEN len(words) > 0 THEN
+                  ((length(t) - length(replace(t, '#', '')))
+                   + (length(t) - length(replace(t, '...', ''))) / 3
+                   + (length(t) - length(replace(t, '…', ''))))
+                  / CAST(len(words) AS DOUBLE)
+                ELSE 0.0 END AS symbol_word_ratio,
+                CASE WHEN len(words) > 0 THEN
+                  len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                  / CAST(len(words) AS DOUBLE)
+                ELSE 0.0 END AS frac_alpha_words,
+                CASE WHEN len(lines) > 0 THEN
+                  len(list_filter(lines, l -> regexp_matches(trim(l), '[.!?"]$')))
+                  / CAST(len(lines) AS DOUBLE)
+                ELSE 0.0 END AS frac_lines_term_punct,
+                CASE WHEN len(lines) > 0 THEN
+                  len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•])')))
+                  / CAST(len(lines) AS DOUBLE)
+                ELSE 0.0 END AS frac_lines_bullet,
+                CASE WHEN len(lines) > 0 THEN
+                  len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+                  / CAST(len(lines) AS DOUBLE)
+                ELSE 0.0 END AS frac_lines_ellipsis_end,
+                contains(lt, 'lorem ipsum') AS has_lorem_ipsum,
+                contains(t, '{{') AS has_curly_brace,
+                len(list_filter(lines, l -> contains(lower(l), 'javascript'))) > 0
+                  AS has_javascript_line
+              FROM cg_base
+            ),
+            cg_flags AS (
+              -- flags from UNROUNDED values (spark side does the same);
+              -- separate CTE so rounded output aliases can reuse the
+              -- input names without ambiguity
+              SELECT *,
+                     (n_sentences >= 3 AND NOT has_lorem_ipsum AND NOT has_curly_brace)
+                       AS keep_c4,
+                     (n_words >= 50 AND n_words <= 100000
+                      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                      AND symbol_word_ratio < 0.1 AND frac_alpha_words >= 0.8
+                      AND frac_lines_bullet < 0.9 AND frac_lines_ellipsis_end < 0.3)
+                       AS keep_gopher
+              FROM cg_f
+            ),
+            cg AS (
+              SELECT doc_id, n_words::BIGINT AS n_words,
+                     n_sentences::BIGINT AS n_sentences,
+                     round(mean_word_len, 4) AS mean_word_len,
+                     round(symbol_word_ratio, 4) AS symbol_word_ratio,
+                     round(frac_alpha_words, 4) AS frac_alpha_words,
+                     round(frac_lines_term_punct, 4) AS frac_lines_term_punct,
+                     round(frac_lines_bullet, 4) AS frac_lines_bullet,
+                     round(frac_lines_ellipsis_end, 4) AS frac_lines_ellipsis_end,
+                     has_lorem_ipsum, has_curly_brace, has_javascript_line,
+                     keep_c4, keep_gopher
+              FROM cg_flags
+            )
+            SELECT q.*, l.lang_pred, cg.n_words, cg.n_sentences, cg.mean_word_len,
+                   cg.symbol_word_ratio, cg.frac_alpha_words, cg.frac_lines_term_punct,
+                   cg.frac_lines_bullet, cg.frac_lines_ellipsis_end, cg.has_lorem_ipsum,
+                   cg.has_curly_brace, cg.has_javascript_line, cg.keep_c4, cg.keep_gopher
+            FROM q JOIN l USING (doc_id) JOIN cg USING (doc_id)
         """,
         "token_counts": f"""
             SELECT doc_id,

@@ -81,6 +81,99 @@ def quality_features(
     )
 
 
+def c4_gopher_filters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The published C4 (Raffel et al. 2020 §2.2) and Gopher (Rae et
+    al. 2021, Table A1) document-filter rules as per-doc signal columns
+    plus the two composite keep flags — the standard web-corpus triage
+    applied before training:
+
+    C4: >=3 sentences; no "lorem ipsum"; no ``{`` (code); and the
+    per-line signals behind its line filter (fraction of non-blank
+    lines ending in terminal punctuation, any line mentioning
+    javascript).
+    Gopher: 50..100k words; mean word length 3..10; hash/ellipsis
+    symbol-to-word ratio < 0.1; >=80% of words contain an alphabetic
+    char; <90% bullet-started lines; <30% ellipsis-ended lines.
+
+    All native column expressions — one narrow map, no shuffle, exact
+    DuckDB twin (joined into the ``quality_features`` oracle row)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lower = F.lower(t)
+    # whitespace words (Gopher counts words, not sklearn tokens)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+        / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.size(F.split(t, r"#", -1))
+        - 1
+        + F.size(F.split(t, r"\.\.\.", -1))
+        - 1
+        + F.size(F.split(t, "…", -1))
+        - 1
+    )
+    symbol_word_ratio = F.when(
+        n_words > 0, n_symbols / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_sentences = F.size(F.regexp_extract_all(t, F.lit(r"[^.!?]+[.!?]"), F.lit(0)))
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    frac_term_punct = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike('[.!?"]$')))
+        / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    frac_bullet = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•])")))
+        / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    frac_ellipsis_end = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+        / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    frac_alpha = F.when(
+        n_words > 0, n_alpha_words / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    has_lorem = lower.contains("lorem ipsum")
+    has_brace = t.contains("{")
+    has_js_line = F.size(F.filter(lines, lambda l: F.lower(l).contains("javascript"))) > 0
+    keep_c4 = (n_sentences >= 3) & ~has_lorem & ~has_brace
+    keep_gopher = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_word_ratio < 0.1)
+        & (frac_alpha >= 0.8)
+        & (frac_bullet < 0.9)
+        & (frac_ellipsis_end < 0.3)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(symbol_word_ratio, 4).alias("symbol_word_ratio"),
+        F.round(frac_alpha, 4).alias("frac_alpha_words"),
+        F.round(frac_term_punct, 4).alias("frac_lines_term_punct"),
+        F.round(frac_bullet, 4).alias("frac_lines_bullet"),
+        F.round(frac_ellipsis_end, 4).alias("frac_lines_ellipsis_end"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        has_js_line.alias("has_javascript_line"),
+        keep_c4.alias("keep_c4"),
+        keep_gopher.alias("keep_gopher"),
+    )
+
+
 def token_counts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -34,6 +34,34 @@ class Catalog:
             os.path.join(d, s) for s in os.listdir(d) if s.startswith("snap-")
         )
 
+    def snapshot_seqs(self, table: str) -> list[int]:
+        """Committed snapshot sequence numbers, ascending (the table's
+        time-travel axis)."""
+        return [
+            int(os.path.basename(s).split("-")[1]) for s in self.snapshots(table)
+        ]
+
+    def _snaps_as_of(self, table: str, as_of: int | None) -> list[str]:
+        """Snapshots visible at sequence ``as_of`` (inclusive); None =
+        current. Compaction expires history like Iceberg snapshot
+        expiration: a compacted snapshot REPLACES its inputs under a
+        higher sequence number, so time travel reaches back only to the
+        oldest retained snapshot — asking for an expired sequence
+        raises rather than silently returning post-compact state."""
+        snaps = self.snapshots(table)
+        if as_of is None:
+            return snaps
+        kept = [
+            s for s in snaps if int(os.path.basename(s).split("-")[1]) <= as_of
+        ]
+        if snaps and not kept:
+            raise ValueError(
+                f"snapshot {as_of} of table {table!r} has been expired by "
+                f"compaction; oldest retained is "
+                f"{int(os.path.basename(snaps[0]).split('-')[1])}"
+            )
+        return kept
+
     def _next_seq(self, table: str) -> int:
         """max(existing snapshot numbers) + 1 — NOT len(snapshots):
         compact deletes old snapshots, so a length-derived number would
@@ -55,13 +83,19 @@ class Catalog:
         os.rename(tmp, dest)
         return dest
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+    def read(
+        self, spark: SparkSession, table: str, as_of: int | None = None
+    ) -> DataFrame | None:
         """Union of ALL snapshot rows — append history included. A
         crash between compact's append and its rmtree leaves the
         pre-compact snapshots visible here as duplicates; use
         :meth:`read_latest` (or re-run :meth:`compact`, which collapses
-        them) when per-key latest-wins semantics are required."""
-        snaps = self.snapshots(table)
+        them) when per-key latest-wins semantics are required.
+
+        ``as_of``: Iceberg-style time travel — read the table as it
+        was at snapshot sequence ``as_of`` (see :meth:`snapshot_seqs`);
+        scan-level pruning, only the visible snapshot files are read."""
+        snaps = self._snaps_as_of(table, as_of)
         if not snaps:
             return None
         return spark.read.parquet(*snaps)
@@ -72,15 +106,17 @@ class Catalog:
         table: str,
         key_cols: list[str],
         order_col: str | None = None,
+        as_of: int | None = None,
     ) -> DataFrame | None:
         """Latest row per key across the snapshot history — the same
         rule :meth:`compact` applies (snapshot sequence desc, then
         ``order_col`` desc), so readers see identical results before
         and after compaction, including the duplicated-but-correct
-        state a crashed compact leaves behind."""
+        state a crashed compact leaves behind. ``as_of`` time-travels
+        the pick to a historical snapshot sequence."""
         from pyspark.sql import Window, functions as F
 
-        snaps = self.snapshots(table)
+        snaps = self._snaps_as_of(table, as_of)
         if not snaps:
             return None
         df = spark.read.parquet(*snaps).withColumn("_snap", F.input_file_name())

@@ -211,6 +211,35 @@ def test_compact_append_compact_ordering(spark, tmp_path):
     assert cat.read(spark, "t").collect()[0].v == "c"
 
 
+def test_time_travel_read_as_of(spark, tmp_path):
+    """Iceberg-style time travel: read(as_of=seq) sees the table as it
+    was at that snapshot; compaction expires history (asking for an
+    expired sequence raises, never silently returns post-compact
+    state)."""
+    import pytest as _pytest
+
+    cat = Catalog(str(tmp_path / "cat"))
+    mk = lambda v: spark.createDataFrame([(1, v)], "k int, v string")
+    cat.append(mk("a"), "t")
+    cat.append(mk("b"), "t")
+    cat.append(mk("c"), "t")
+    seqs = cat.snapshot_seqs("t")
+    assert seqs == [0, 1, 2]
+    # as-of the first snapshot: only 'a' visible
+    assert [r.v for r in cat.read(spark, "t", as_of=0).collect()] == ["a"]
+    assert cat.read_latest(spark, "t", ["k"], as_of=1).collect()[0].v == "b"
+    assert cat.read_latest(spark, "t", ["k"], as_of=2).collect()[0].v == "c"
+    # scan-level pruning: the as-of plan reads one snapshot's files
+    plan = cat.read(spark, "t", as_of=0)._jdf.queryExecution().toString()
+    assert "snap-000001" not in plan
+    # compaction expires the history it replaced
+    cat.compact(spark, "t", key_cols=["k"])
+    with _pytest.raises(ValueError, match="expired"):
+        cat.read(spark, "t", as_of=1)
+    # the compacted snapshot itself remains addressable
+    assert cat.read(spark, "t", as_of=cat.snapshot_seqs("t")[0]).collect()[0].v == "c"
+
+
 def test_read_latest_dedupes_crashed_compact_state(spark, tmp_path):
     """A crash between compact's append and its rmtree leaves the old
     snapshots beside the compacted one; read() shows duplicates (by
