@@ -192,6 +192,30 @@ def repetition_features(
     )
 
 
+def sample_by_hash(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "url",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic corpus sampling: keep a row iff
+    ``xxhash64(key, seed) mod 2^20 < rate·2^20``.
+
+    Unlike ``DataFrame.sample`` (per-partition RNG — resampling under a
+    different partitioning or a retry yields a DIFFERENT subset), the
+    decision is a pure function of the key, so the sample is
+    reproducible across runs, partitionings, and engines, and two
+    pipelines sampling the same keys at rates r1 < r2 produce nested
+    subsets (the r1 sample is a subset of the r2 sample — the standard
+    trick for growing a held-out set without resampling). Narrow map,
+    no shuffle, pushes down past column pruning."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    buckets = 1 << 20
+    h = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(buckets))
+    return df.where(h < int(rate * buckets))
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -241,6 +241,49 @@ def test_streaming_ingest(spark, tmp_path):
     gen.unpersist()
 
 
+def test_streaming_checkpoint_resume_skips_seen_files(spark, tmp_path):
+    """True checkpoint resume: after draining batch 1, a restart with
+    the SAME checkpoint must not re-read the already-committed source
+    files — only files added after the first drain enter the second
+    run's micro-batches (source-offset tracking, not just manifest
+    idempotency)."""
+    from neurostore_text_extraction_spark.plans.pipeline import read_results
+    from neurostore_text_extraction_spark.sources.catalog import Catalog
+    from neurostore_text_extraction_spark.sources.pages import (
+        generate_pages,
+        pages_view,
+    )
+    from neurostore_text_extraction_spark.streaming.ingest import stream_extract
+
+    input_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    g1 = generate_pages(spark, 20, 2)
+    pages_view(g1).write.mode("append").parquet(input_dir)
+    stream_extract(spark, input_dir, store, ckpt, num_partitions=2)
+    assert read_results(spark, store).count() == 20
+    runs_after_first = Catalog(store).read(spark, "runs").count()
+
+    # second drain on the SAME checkpoint with no new files: the source
+    # reports nothing, so no micro-batch runs and no new run row appears
+    stream_extract(spark, input_dir, store, ckpt, num_partitions=2)
+    assert Catalog(store).read(spark, "runs").count() == runs_after_first
+
+    # add batch 2 (new urls); resume processes ONLY the new files —
+    # observable through the manifest: batch-1 urls keep their original
+    # run_id (they were never re-extracted, not even re-matched)
+    g2 = generate_pages(spark, 40, 2).where(
+        "CAST(regexp_extract(url, '/([0-9]+)$', 1) AS INT) >= 20"
+    )
+    pages_view(g2).write.mode("append").parquet(input_dir)
+    stream_extract(spark, input_dir, store, ckpt, num_partitions=2)
+    res = read_results(spark, store)
+    assert res.count() == 40
+    manifest = Catalog(store).read(spark, "manifest")
+    assert manifest.count() == 40  # one manifest row per url: no rework
+    assert manifest.select("run_id").distinct().count() == runs_after_first + 1
+
+
 def test_embedding_neardup_pairs(spark):
     """LSH self-join near-dup: a tiny perturbation of a unit vector is
     found above threshold, an unrelated vector is not; intermediates

@@ -121,3 +121,35 @@ def test_canonical_url_idempotent(spark):
     )
     for r in rows:
         assert r.c1 == r.c2, (r.url, r.c1, r.c2)
+
+
+def test_sample_by_hash_deterministic_and_nested(spark):
+    from neurostore_text_extraction_spark.operators.webtext import sample_by_hash
+
+    df = spark.createDataFrame(
+        [(f"https://d{i}.ex/{i}",) for i in range(2000)], "url string"
+    )
+    s10 = sample_by_hash(df, 0.1)
+    # deterministic: same subset under a different partitioning
+    again = sample_by_hash(df.repartition(7), 0.1)
+    assert s10.exceptAll(again).count() == 0
+    assert again.exceptAll(s10).count() == 0
+    # rate lands near nominal (hash-uniform over 2000 keys)
+    n = s10.count()
+    assert 140 <= n <= 260
+    # nested: the 10% sample is a subset of the 30% sample
+    s30_urls = {r.url for r in sample_by_hash(df, 0.3).collect()}
+    assert {r.url for r in s10.collect()} <= s30_urls
+    # different seed → different subset
+    other = sample_by_hash(df, 0.1, seed=7)
+    assert {r.url for r in other.collect()} != {r.url for r in s10.collect()}
+
+
+def test_sample_by_hash_rejects_bad_rate(spark):
+    import pytest as _pytest
+
+    from neurostore_text_extraction_spark.operators.webtext import sample_by_hash
+
+    df = spark.createDataFrame([("u",)], "url string")
+    with _pytest.raises(ValueError):
+        sample_by_hash(df, 1.5)
