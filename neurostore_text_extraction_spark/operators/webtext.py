@@ -238,13 +238,15 @@ def line_dedup(
     - line key frequencies: ``distinct(doc, key) → groupBy(key).count``
       — both map-side combinable, one shuffle on the line key;
     - the over-frequency key set is the *boilerplate* of the crawl —
-      tiny relative to the corpus — so it is **broadcast** and removed
-      with a ``left_anti`` join: the heavy exploded-lines frame never
-      shuffles a second time (same anti-join-cap pattern as the dedup
-      guards; never a ``count().over(Window)``, which would funnel the
-      most common line into one task);
-    - reassembly is one groupBy on the doc id with an array_sort over
-      (pos, line) — bounded by lines-per-doc, not corpus size.
+      tiny relative to the corpus — so it is **broadcast** back as a
+      dup-flag left join: the heavy exploded-lines frame never shuffles
+      a second time (same broadcast-cap pattern as the dedup guards;
+      never a ``count().over(Window)``, which would funnel the most
+      common line into one task);
+    - reassembly + both counters come from ONE groupBy on the doc id
+      (collect_list skips the nulled-out dropped lines) with an
+      array_sort over (pos, line) — bounded by lines-per-doc, not
+      corpus size.
     """
     base = df.select(F.col(id_col), F.col(text_col).alias("_text"))
     lines = base.where(F.col("_text").isNotNull()).select(
@@ -261,45 +263,45 @@ def line_dedup(
         .groupBy("_key")
         .agg(F.count("*").alias("_nd"))
         .where(F.col("_nd") > max_doc_freq)
-        .select("_key")
+        .select(F.col("_key").alias("_drop_key"), F.lit(True).alias("_dup"))
     )
-    kept = keyed.join(
-        F.broadcast(over_cap).withColumnRenamed("_key", "_drop_key"),
-        (F.col("_key") == F.col("_drop_key")) & (F.col("_key") != ""),
-        "left_anti",
+    # flag boilerplate lines with ONE broadcast left join, then derive
+    # the reassembled text and both counters in a single per-doc
+    # aggregation (collect_list skips the nulled-out dropped lines) —
+    # one pass over the exploded lines, not one per counter
+    flagged = keyed.join(
+        F.broadcast(over_cap), F.col("_key") == F.col("_drop_key"), "left"
     )
-    reassembled = kept.groupBy(id_col).agg(
+    agg = flagged.groupBy(id_col).agg(
         F.concat_ws(
             "\n",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_dup").isNull(), F.struct("pos", "line"))
+                    )
+                ),
                 lambda s: s["line"],
             ),
         ).alias("clean_text"),
-        F.sum(F.when(F.col("_key") != "", 1).otherwise(0))
+        F.sum(
+            F.when((F.col("_key") != "") & F.col("_dup").isNull(), 1).otherwise(0)
+        )
         .cast("long")
         .alias("n_lines_kept"),
-    )
-    totals = keyed.groupBy(id_col).agg(
-        F.sum(F.when(F.col("_key") != "", 1).otherwise(0))
+        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
         .cast("long")
-        .alias("_n_total")
+        .alias("n_lines_dropped"),
     )
-    return (
-        base.join(reassembled, id_col, "left")
-        .join(totals, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.when(F.col("_text").isNull(), F.lit(None).cast("string"))
-            .otherwise(F.coalesce(F.col("clean_text"), F.lit("")))
-            .alias("clean_text"),
-            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias(
-                "n_lines_kept"
-            ),
-            (F.coalesce(F.col("_n_total"), F.lit(0)) - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_lines_dropped"),
-        )
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col("_text").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("clean_text"), F.lit("")))
+        .alias("clean_text"),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+        F.coalesce(F.col("n_lines_dropped"), F.lit(0))
+        .cast("long")
+        .alias("n_lines_dropped"),
     )
 
 
