@@ -251,12 +251,25 @@ def _q_quality(spark, sf):
     )
 
 
-def _q_token_counts(spark, sf):
-    return textquality.token_counts(_t(spark, sf, "documents"))
+def _q_token_fingerprints(spark, sf):
+    """Token counting + winnowing fingerprints, same per-doc grain,
+    joined into one registry entry (same slot-budget rationale as
+    word_stats; fingerprints' n_tokens is renamed to avoid colliding
+    with future joins)."""
+    docs = _t(spark, sf, "documents")
+    return textquality.token_counts(docs).join(
+        textquality.fingerprints(docs).withColumnRenamed(
+            "n_tokens", "n_sk_tokens"
+        ),
+        "doc_id",
+    )
 
 
-def _q_fingerprints(spark, sf):
-    return textquality.fingerprints(_t(spark, sf, "documents"))
+def _q_substr_dedup(spark, sf):
+    """ExactSubstr-style rolling-window duplication stats (Lee et al.
+    2021): fraction of each doc's 20-token windows occurring more than
+    once in the corpus."""
+    return dedup.substr_dup_stats(_t(spark, sf, "documents"), window_tokens=20)
 
 
 def _q_incremental(spark, sf):
@@ -1185,8 +1198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_embedding": _q_dedup_embedding,
         "quality_features": _q_quality,
-        "token_counts": _q_token_counts,
-        "fingerprints": _q_fingerprints,
+        # token_counts + fingerprints merged (same per-doc grain); the
+        # freed slot funds substr_dedup
+        "token_fingerprints": _q_token_fingerprints,
+        "substr_dedup": _q_substr_dedup,
         "incremental_changed": _q_incremental,
         # S6 JSON source — early in the dict: the r2 driver recorded 50
         # of 51 registered queries and this (then-last) one lost its row
@@ -1776,22 +1791,42 @@ def oracle_sql() -> dict[str, str]:
                    cg.has_curly_brace, cg.has_javascript_line, cg.keep_c4, cg.keep_gopher
             FROM q JOIN l USING (doc_id) JOIN cg USING (doc_id)
         """,
-        "token_counts": f"""
-            SELECT doc_id,
-              ({_WC})::BIGINT AS ws_tokens,
-              (ceil(length(regexp_replace(coalesce(trim(text), ''), '[^0-9A-Za-z]', '', 'g')) / 4.0)
-               + length(regexp_replace(coalesce(trim(text), ''), '[0-9A-Za-z\\s]', '', 'g')))::BIGINT
-              AS bpe_tokens_est
-            FROM documents
+        "token_fingerprints": f"""
+            WITH tc AS (
+              SELECT doc_id,
+                ({_WC})::BIGINT AS ws_tokens,
+                (ceil(length(regexp_replace(coalesce(trim(text), ''), '[^0-9A-Za-z]', '', 'g')) / 4.0)
+                 + length(regexp_replace(coalesce(trim(text), ''), '[0-9A-Za-z\\s]', '', 'g')))::BIGINT
+                AS bpe_tokens_est
+              FROM documents
+            ),
+            fp AS (
+              SELECT doc_id, list_aggregate(hs, 'min') AS fp_min,
+                     list_aggregate(hs, 'max') AS fp_max, n_sk_tokens
+              FROM (SELECT doc_id,
+                           list_transform({_SHINGLES4}, x -> md5(x)) AS hs,
+                           len({_TOKS})::BIGINT AS n_sk_tokens
+                    FROM documents)
+            )
+            SELECT tc.doc_id, tc.ws_tokens, tc.bpe_tokens_est,
+                   fp.fp_min, fp.fp_max, fp.n_sk_tokens
+            FROM tc JOIN fp USING (doc_id)
         """,
-        "fingerprints": f"""
-            WITH s AS (SELECT doc_id,
-                        list_transform({_SHINGLES4}, x -> md5(x)) AS hs,
-                        len({_TOKS})::BIGINT AS n_tokens
-                       FROM documents)
-            SELECT doc_id, list_aggregate(hs, 'min') AS fp_min,
-                   list_aggregate(hs, 'max') AS fp_max, n_tokens
-            FROM s
+        "substr_dedup": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len({_TOKS}) < 20 THEN [array_to_string({_TOKS}, ' ')]
+                ELSE list_transform(generate_series(1, len({_TOKS}) - 19),
+                                    i -> array_to_string(({_TOKS})[i:i+19], ' ')) END
+              ) AS w
+              FROM documents
+            ),
+            c AS (SELECT w, COUNT(*) AS n FROM sh GROUP BY w)
+            SELECT doc_id, COUNT(*)::BIGINT AS n_windows,
+                   SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows,
+                   round(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END)
+                         / COUNT(*)::DOUBLE, 6) AS dup_frac
+            FROM sh JOIN c USING (w) GROUP BY doc_id
         """,
         "incremental_changed": """
             WITH current AS (SELECT doc_id, md5(text) AS m FROM documents),

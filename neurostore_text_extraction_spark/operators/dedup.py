@@ -519,3 +519,56 @@ def ngram_jaccard_pairs(
         result = _materialize(result)
         sh_all.unpersist()
     return result
+
+
+def substr_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 20,
+) -> DataFrame:
+    """Exact-substring duplication stats (the Spark-shaped analogue of
+    Lee et al. 2021's ExactSubstr dedup, which removes any 50-byte span
+    occurring more than once in the corpus): per doc, the number and
+    fraction of rolling ``window_tokens``-token windows whose exact
+    token sequence occurs more than once ANYWHERE in the corpus
+    (including elsewhere in the same doc — ExactSubstr semantics).
+
+    Output: (id, n_windows, n_dup_windows, dup_frac). Docs shorter
+    than the window contribute their full token join as one window
+    (consistent with :func:`shingles_col`); callers typically drop or
+    trim docs above a dup_frac threshold.
+
+    Scale shape (10^12 docs): windows are hashed to int64
+    (``xxhash64``) before they shuffle, so the exploded frame carries
+    (id, long) — never the W-token strings; occurrence counts are one
+    map-side-combinable groupBy on the hash; the dup-window join is
+    hash-to-hash (sort-merge on the same key the counts were grouped
+    by) followed by the per-doc count groupBy. Suffix-array exactness
+    (arbitrary-length spans) does not distribute; fixed-window rolling
+    hashes are the standard approximation and bound memory per row.
+    The SQL oracle twin compares on the window STRINGS (DuckDB has no
+    xxhash64) — identical results absent int64 hash collisions
+    (~n²/2^64; negligible below 10^9 windows, noted here for honesty).
+    """
+    win = df.select(
+        F.col(id_col),
+        F.explode(shingles_col(text_col, window_tokens)).alias("w"),
+    ).select(F.col(id_col), F.xxhash64("w").alias("h"))
+    counts = win.groupBy("h").agg(F.count("*").alias("_n"))
+    joined = win.join(counts, "h")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("n_dup_windows") / F.col("n_windows").cast("double"), 6
+            ),
+        )
+    )

@@ -251,3 +251,35 @@ def test_connected_components_star_string_ids(spark):
         for r in dedup.connected_components_star(pairs).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_substr_dup_stats_hand_computed(spark):
+    """ExactSubstr-style window dup stats: 3-token windows, corpus of
+    two docs sharing one window, one doc with an internal repeat."""
+    from neurostore_text_extraction_spark.operators.dedup import substr_dup_stats
+
+    rows = [
+        # doc 1: tokens aa bb cc dd -> windows "aa bb cc", "bb cc dd"
+        (1, "aa bb cc dd"),
+        # doc 2: tokens bb cc dd ee -> windows "bb cc dd", "cc dd ee"
+        (2, "bb cc dd ee"),
+        # doc 3: internal repeat -> "xx yy zz" twice among its windows
+        (3, "xx yy zz xx yy zz"),
+        # doc 4: shorter than the window -> single full-join window
+        (4, "qq rr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in substr_dup_stats(df, window_tokens=3).collect()
+    }
+    # "bb cc dd" occurs in docs 1 and 2 -> dup in both
+    assert got[1]["n_windows"] == 2 and got[1]["n_dup_windows"] == 1
+    assert got[2]["n_windows"] == 2 and got[2]["n_dup_windows"] == 1
+    assert got[1]["dup_frac"] == 0.5
+    # doc 3 windows: "xx yy zz","yy zz xx","zz xx yy","xx yy zz" ->
+    # the repeated window counts as dup BOTH times (ExactSubstr
+    # removes every occurrence of a repeated span)
+    assert got[3]["n_windows"] == 4 and got[3]["n_dup_windows"] == 2
+    # doc 4: one unique full-join window, no dups
+    assert got[4]["n_windows"] == 1 and got[4]["n_dup_windows"] == 0
