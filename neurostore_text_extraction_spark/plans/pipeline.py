@@ -56,6 +56,7 @@ def run_extraction(
     auto_compact_after: int | None = 16,
     corpus_scoped: bool = False,
     salt: bool = True,
+    partition_buckets: int | None = None,
 ) -> RunResult:
     """See module docstring. ``auto_compact_after``: once the results/
     manifest snapshot history exceeds this many snapshots it is
@@ -63,6 +64,14 @@ def run_extraction(
     latest-pick (and the manifest anti-join's right side) bounded at
     O(auto_compact_after) files per scan for arbitrarily long-lived
     pipelines. ``None`` disables.
+
+    ``partition_buckets=N`` writes the results table hive-partitioned
+    on ``url_bucket = pmod(xxhash64(url), N)`` (north rule: results
+    back to *partitioned* tables keyed on url-hash — uniform in the
+    url, so Zipf-skewed domains cannot produce fat partitions). Point
+    lookups via :func:`read_results_for_url` then prune all but one
+    bucket directory at planning time. Use the same N for the lifetime
+    of a store (the layout must stay consistent across snapshots).
 
     ``corpus_scoped=True`` folds the corpus identity (the commutative
     url-set digest, A5) into the run's cache key — the distributed form
@@ -121,7 +130,20 @@ def run_extraction(
     # One pass: write results, derive lineage/manifest from the written
     # snapshot (re-read is a cheap columnar scan; avoids caching the
     # heavy text in memory and avoids recomputing the UDF 3x).
-    snap = cat.append(validated, "results")
+    if partition_buckets:
+        # repartition ON the bucket before the partitioned write: each
+        # write task then owns whole buckets, so the snapshot holds
+        # O(buckets) files instead of O(extract_tasks × buckets) — the
+        # small-files failure mode of naive partitionBy at scale. Costs
+        # one shuffle of the output rows (not the html payload — that
+        # was consumed by the extract kernel).
+        validated = validated.withColumn(
+            "url_bucket",
+            F.pmod(F.xxhash64(F.col("url")), F.lit(partition_buckets)).cast("int"),
+        ).repartition(partition_buckets, F.col("url_bucket"))
+        snap = cat.append(validated, "results", partition_by=["url_bucket"])
+    else:
+        snap = cat.append(validated, "results")
     written = spark.read.parquet(snap)
 
     cat.append(lineage_from_extracted(written, run_id), "lineage")
@@ -164,7 +186,11 @@ def run_extraction(
         # config's skip rows survive; lineage/runs rows are unique per
         # key, so their compaction is a pure file-count bound.
         cat.maybe_compact(
-            spark, "results", ["url", "config_hash"], max_snapshots=auto_compact_after
+            spark,
+            "results",
+            ["url", "config_hash"],
+            max_snapshots=auto_compact_after,
+            partition_by=["url_bucket"] if partition_buckets else None,
         )
         cat.maybe_compact(
             spark,
@@ -209,6 +235,28 @@ def read_results(
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn", "_snap")
+    )
+
+
+def read_results_for_url(
+    spark: SparkSession,
+    store_root: str,
+    url: str,
+    partition_buckets: int,
+    config_hash: str | None = None,
+) -> DataFrame:
+    """Point lookup against a bucket-partitioned results table: the
+    ``url_bucket = pmod(xxhash64(url), N)`` predicate folds to a
+    literal at planning time, so all other bucket directories are
+    pruned from the scan (verify: the plan's partition filter lists
+    one bucket). Scans 1/N of the store regardless of corpus size."""
+    df = read_results(spark, store_root, config_hash=config_hash)
+    return df.where(
+        (
+            F.col("url_bucket")
+            == F.pmod(F.xxhash64(F.lit(url)), F.lit(partition_buckets)).cast("int")
+        )
+        & (F.col("url") == url)
     )
 
 

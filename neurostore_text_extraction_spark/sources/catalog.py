@@ -73,10 +73,22 @@ class Catalog:
         ]
         return max(seqs) + 1 if seqs else 0
 
-    def append(self, df: DataFrame, table: str) -> str:
-        """Write df as a new immutable snapshot; returns its path."""
+    def append(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> str:
+        """Write df as a new immutable snapshot; returns its path.
+
+        ``partition_by`` writes the snapshot hive-partitioned on the
+        given columns (north rule: results partitioned on a url-hash
+        bucket) — readers filtering on a partition column prune whole
+        directories at planning time. Use the SAME layout for every
+        snapshot of a table: Spark's multi-path partition discovery
+        requires consistent directory shapes."""
         tmp = os.path.join(self.root, ".tmp", uuid.uuid4().hex)
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
         os.makedirs(self._table_dir(table), exist_ok=True)
         n = self._next_seq(table)
         dest = os.path.join(self._table_dir(table), f"snap-{n:06d}-{uuid.uuid4().hex[:8]}")
@@ -139,6 +151,7 @@ class Catalog:
         table: str,
         key_cols: list[str],
         order_col: str | None = None,
+        partition_by: list[str] | None = None,
     ) -> str | None:
         """MERGE-style compaction: collapse the snapshot history to the
         latest row per key (last snapshot wins; within-snapshot ties
@@ -179,7 +192,9 @@ class Catalog:
             .where(F.col("_rn") == 1)
             .drop("_rn", "_snap_seq")
         )
-        dest = self.append(latest, table)
+        # partitioned tables stay partitioned through compaction — a
+        # mixed layout would break multi-path partition discovery
+        dest = self.append(latest, table, partition_by=partition_by)
         for s in snaps:
             shutil.rmtree(s, ignore_errors=True)
         return dest
@@ -191,6 +206,7 @@ class Catalog:
         key_cols: list[str],
         order_col: str | None = None,
         max_snapshots: int = 16,
+        partition_by: list[str] | None = None,
     ) -> str | None:
         """Auto-compaction policy: compact only once the snapshot
         history exceeds ``max_snapshots``, so long-lived incremental
@@ -200,7 +216,7 @@ class Catalog:
         at most every ``max_snapshots`` appends."""
         if len(self.snapshots(table)) <= max_snapshots:
             return None
-        return self.compact(spark, table, key_cols, order_col)
+        return self.compact(spark, table, key_cols, order_col, partition_by)
 
 
 # S8 extension dispatch — typed loader routing by file suffix

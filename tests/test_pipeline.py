@@ -357,3 +357,56 @@ def test_results_carry_config_and_survive_compaction_per_config(spark, corpus, t
     # default read: one latest row per url
     assert read_results(spark, store).groupBy("url").count().where("count > 1").count() == 0
     pages.unpersist()
+
+
+def test_partitioned_results_write_and_bucket_pruned_lookup(spark, tmp_path):
+    """partition_buckets: results snapshots are hive-partitioned on
+    url_bucket; reads still see every row; a point lookup prunes all
+    other bucket directories at planning time; compaction preserves
+    the partitioned layout."""
+    import os
+
+    from neurostore_text_extraction_spark.plans.pipeline import (
+        read_results,
+        read_results_for_url,
+        run_extraction,
+    )
+    from neurostore_text_extraction_spark.sources.catalog import Catalog
+    from neurostore_text_extraction_spark.sources.pages import (
+        generate_pages,
+        pages_view,
+    )
+
+    store = str(tmp_path / "store")
+    pages = pages_view(generate_pages(spark, 30, 4))
+    run_extraction(spark, pages, store, partition_buckets=4, salt=False)
+    cat = Catalog(store)
+    snap = cat.snapshots("results")[0]
+    subdirs = sorted(d for d in os.listdir(snap) if d.startswith("url_bucket="))
+    assert subdirs and all(d.startswith("url_bucket=") for d in subdirs)
+
+    res = read_results(spark, store)
+    assert res.count() == 30 and "url_bucket" in res.columns
+
+    url = res.select("url").first()["url"]
+    hit = read_results_for_url(spark, store, url, partition_buckets=4)
+    assert hit.count() == 1
+    # planning-time pruning: the executed scan reads ONE bucket dir
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "url_bucket" in plan
+    import re
+
+    m = re.findall(r"url_bucket=(\d+)", plan)
+    assert len(set(m)) <= 1
+
+    # second config's run + forced compaction keep the layout partitioned
+    run_extraction(
+        spark, pages, store, kwargs={"v": 2}, partition_buckets=4, salt=False
+    )
+    cat.compact(
+        spark, "results", ["url", "config_hash"], partition_by=["url_bucket"]
+    )
+    snaps = cat.snapshots("results")
+    assert len(snaps) == 1
+    assert any(d.startswith("url_bucket=") for d in os.listdir(snaps[0]))
+    assert read_results(spark, store).count() == 30
