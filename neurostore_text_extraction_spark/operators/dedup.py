@@ -526,6 +526,7 @@ def substr_dup_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     window_tokens: int = 20,
+    eager: bool = True,
 ) -> DataFrame:
     """Exact-substring duplication stats (the Spark-shaped analogue of
     Lee et al. 2021's ExactSubstr dedup, which removes any 50-byte span
@@ -555,9 +556,17 @@ def substr_dup_stats(
         F.col(id_col),
         F.explode(shingles_col(text_col, window_tokens)).alias("w"),
     ).select(F.col(id_col), F.xxhash64("w").alias("h"))
+    if eager:
+        # win feeds both the occurrence count and the dup join — two
+        # full tokenize+explode passes without it. The cached frame is
+        # (id, long): 16 bytes/window, the cheapest representation the
+        # operator ever holds. Same persist→materialize→unpersist
+        # contract as minhash_lsh_pairs; eager=False returns the fully
+        # lazy (twice-evaluated) plan for inspection/composition.
+        win = win.persist()
     counts = win.groupBy("h").agg(F.count("*").alias("_n"))
     joined = win.join(counts, "h")
-    return (
+    result = (
         joined.groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_windows"),
@@ -572,3 +581,7 @@ def substr_dup_stats(
             ),
         )
     )
+    if eager:
+        result = _materialize(result)
+        win.unpersist()
+    return result

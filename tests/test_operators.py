@@ -170,9 +170,10 @@ def test_dedup_eager_unpersists_intermediates(spark):
     dedup.minhash_lsh_pairs(df).collect()
     dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
     dedup.simhash_pairs(df).collect()
+    dedup.substr_dup_stats(df, window_tokens=3).collect()
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
-    # 3 calls -> at most 3 result-checkpoint RDDs, no intermediates
-    assert after - before <= 3
+    # 4 calls -> at most 4 result-checkpoint RDDs, no intermediates
+    assert after - before <= 4
     # and nothing remains registered in the session CacheManager
     jcm = spark._jsparkSession.sharedState().cacheManager()
     assert jcm.isEmpty()
