@@ -1,0 +1,129 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences (the packing step of LM pretraining data prep — concatenate
+short documents so a training sequence wastes no budget on padding).
+
+Globally optimal bin packing does not distribute; the standard
+practice is **shard-local packing**: partition the corpus
+deterministically, pack each shard independently with first-fit
+decreasing (FFD — within 11/9·OPT+1 bins of optimal per shard), and
+name sequences (shard, local index). That is exactly the Spark shape
+here:
+
+    docs → token count (native expr)
+         → repartition(num_shards, xxhash64(id))     # deterministic shards
+         → mapInPandas(FFD per shard)                # the one Python hop
+         → (seq_id, id, pos, n_tokens) assignments
+
+Packing is per-partition imperative logic — the documented legitimate
+use of ``mapInPandas`` (no built-in expresses bin packing). The hop
+carries only (id, n_tokens): the text never enters Python;
+:func:`assemble_packed` rebuilds the packed text JVM-side afterwards.
+
+Determinism: shard membership is a pure function of the id hash and
+the shard count, and FFD sorts by (n_tokens desc, id) — same input +
+same ``num_shards`` → identical assignments, independent of the
+upstream partitioning or task scheduling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, functions as F
+
+from .tfidf import tokens_col
+
+ASSIGN_SCHEMA = (
+    "seq_id string, doc_id long, pos int, n_tokens long"
+)
+
+
+def _ffd_pack(max_tokens: int):
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        pdf = pd.concat(list(batches), ignore_index=True) if batches else None
+        if pdf is None or len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []  # remaining budget per bin
+        members: list[list[tuple[int, int]]] = []  # (doc_id, n_tokens)
+        for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+            n = int(n)
+            placed = False
+            for b, rem in enumerate(bins):
+                if n <= rem:
+                    bins[b] = rem - n
+                    members[b].append((int(doc_id), n))
+                    placed = True
+                    break
+            if not placed:
+                # oversize docs (> max_tokens) get a bin of their own
+                bins.append(max(max_tokens - n, 0))
+                members.append([(int(doc_id), n)])
+        rows = []
+        for b, docs in enumerate(members):
+            for pos, (doc_id, n) in enumerate(docs):
+                rows.append((f"{pid}-{b}", doc_id, pos, n))
+        yield pd.DataFrame(rows, columns=["seq_id", "doc_id", "pos", "n_tokens"])
+
+    return pack
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """(seq_id, doc_id, pos, n_tokens) assignment rows: every input doc
+    exactly once; each sequence's token sum <= max_tokens except
+    single-doc sequences holding an oversize doc (callers truncate
+    those downstream). Token counts use the repo-wide sklearn-parity
+    tokenizer.
+
+    ``num_shards`` bounds per-shard memory in the packing hop (the
+    shard must fit in one task); size it so corpus_tokens/num_shards
+    is a few hundred MB of (id, count) pairs at most."""
+    counted = df.select(
+        F.col(id_col).alias("doc_id").cast("long"),
+        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+    )
+    if num_shards:
+        counted = counted.repartition(num_shards, F.xxhash64(F.col("doc_id")))
+    else:
+        counted = counted.repartition(F.xxhash64(F.col("doc_id")))
+    return counted.mapInPandas(_ffd_pack(max_tokens), ASSIGN_SCHEMA)
+
+
+def assemble_packed(
+    assignments: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """JVM-side packed-text assembly: join assignments back to the doc
+    text and concatenate per sequence in pack order. One shuffle on the
+    doc id (join) + one on seq_id (groupBy); the heavy text stays out
+    of Python throughout."""
+    joined = assignments.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")),
+        "doc_id",
+    )
+    return joined.groupBy("seq_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_text"))),
+                lambda s: s["_text"],
+            ),
+        ).alias("packed_text"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
