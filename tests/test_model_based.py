@@ -1,0 +1,101 @@
+"""Model-based tests: seeded random corpora checked against exact
+pure-Python reference implementations of the operator semantics (the
+hypothesis-style depth the Spark-bound operators can't get per-example
+without a JVM round-trip each)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from neurostore_text_extraction_spark.operators.packing import pack_sequences
+from neurostore_text_extraction_spark.operators.webtext import line_dedup
+
+_POOL = [
+    "alpha line", "beta line", "gamma line", "  padded line ", "",
+    "delta content", "epsilon content", "zeta unique", "eta filler",
+]
+
+
+def _py_line_dedup(docs: dict[int, str | None], max_doc_freq: int):
+    """Reference model of line_dedup semantics."""
+    from collections import defaultdict
+
+    key_docs = defaultdict(set)
+    for d, t in docs.items():
+        if t is None:
+            continue
+        for ln in t.split("\n"):
+            k = ln.strip()
+            if k:
+                key_docs[k].add(d)
+    drop = {k for k, ds in key_docs.items() if len(ds) > max_doc_freq}
+    out = {}
+    for d, t in docs.items():
+        if t is None:
+            out[d] = (None, 0, 0)
+            continue
+        kept_lines, n_kept, n_drop = [], 0, 0
+        for ln in t.split("\n"):
+            k = ln.strip()
+            if k and k in drop:
+                n_drop += 1
+            else:
+                kept_lines.append(ln)
+                if k:
+                    n_kept += 1
+        out[d] = ("\n".join(kept_lines), n_kept, n_drop)
+    return out
+
+
+def test_line_dedup_matches_python_model_on_random_corpora(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        docs = {}
+        for d in range(25):
+            if rng.random() < 0.08:
+                docs[d] = None
+            else:
+                n = rng.randint(0, 6)
+                docs[d] = "\n".join(rng.choice(_POOL) for _ in range(n))
+        cap = rng.choice([1, 2])
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id int, text string"
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_lines_kept"], r["n_lines_dropped"])
+            for r in line_dedup(df, max_doc_freq=cap).collect()
+        }
+        assert got == _py_line_dedup(docs, cap), f"trial {trial} cap {cap}"
+
+
+def _py_ffd(sizes: dict[int, int], max_tokens: int):
+    """Reference FFD over one shard: returns doc_id -> (bin, pos)."""
+    order = sorted(sizes, key=lambda d: (-sizes[d], d))
+    bins, members = [], []
+    for d in order:
+        n = sizes[d]
+        for b, rem in enumerate(bins):
+            if n <= rem:
+                bins[b] = rem - n
+                members[b].append(d)
+                break
+        else:
+            bins.append(max(max_tokens - n, 0))
+            members.append([d])
+    return {
+        d: (b, pos) for b, docs in enumerate(members) for pos, d in enumerate(docs)
+    }
+
+
+def test_packing_matches_python_ffd_on_random_sizes(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        sizes = {d: rng.randint(1, 120) for d in range(40)}
+        cap = rng.choice([64, 128])
+        rows = [(d, " ".join(["tk"] * n)) for d, n in sizes.items()]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (int(r["seq_id"].split("-")[1]), r["pos"])
+            for r in pack_sequences(df, max_tokens=cap, num_shards=1).collect()
+        }
+        assert got == _py_ffd(sizes, cap), f"trial {trial} cap {cap}"
