@@ -1,0 +1,166 @@
+"""The standard web-corpus preparation chain, composed end-to-end:
+
+    C4 + Gopher filters → inter-doc line dedup → PII scrub
+      → exact dedup → MinHash near-dup clustering (keep representative)
+      → ExactSubstr dup-fraction cap
+
+One call, one cleaned corpus, one per-reason drop report — the
+pipeline a training-data user actually runs (C4 §2.2, Gopher A1,
+RefinedWeb §3, CCNet), built from this repo's operators.
+
+Spark shape: instead of filtering stage-by-stage (each stage a
+separate pass with its own count() job for reporting), docs are tagged
+with their FIRST failing stage across two plan groups:
+
+- group 1 over the FULL corpus: the narrow filter signals plus the
+  doc-level dedup keep-sides (exact groupBy min-id; minhash pairs →
+  connected components → min-label), joined on the doc id;
+- group 2 over the group-1 SURVIVORS only: span-level signals (substr
+  dup fraction, line dedup, PII scrub) — sequenced after doc-level
+  dedup because an already-dropped duplicate would otherwise poison
+  the span statistics of its kept representative;
+- one ``drop_reason`` coalesce picks the first failure in pipeline
+  order; survivors have reason NULL.
+
+The report is then a single groupBy(drop_reason).count() and the
+cleaned corpus a single ``where(drop_reason IS NULL)`` — both off the
+same plan, so Spark runs the signal computation once (the tagged
+frame is localCheckpointed when ``eager=True``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators import dedup
+from ..operators.textquality import c4_gopher_filters
+from ..operators.webtext import line_dedup, pii_scrub
+
+
+@dataclass
+class PrepResult:
+    """``tagged``: every input doc with its signals and ``drop_reason``
+    (NULL = kept, text in ``clean_text`` with boilerplate lines removed
+    and PII scrubbed). ``clean``: the kept rows. ``report``: one row
+    per drop_reason with counts (kept rows under reason 'kept')."""
+
+    tagged: DataFrame
+    clean: DataFrame
+    report: DataFrame
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    require_c4: bool = True,
+    require_gopher: bool = True,
+    line_dedup_max_doc_freq: int = 1,
+    substr_window_tokens: int = 20,
+    max_substr_dup_frac: float = 0.5,
+    minhash_threshold: float = 0.7,
+    eager: bool = True,
+) -> PrepResult:
+    """See module docstring. Stage order (first failure wins):
+    ``null_text`` → ``c4_filter`` → ``gopher_filter`` → ``exact_dup``
+    → ``near_dup`` → ``substr_dup``. Line dedup and PII scrubbing are
+    *transformations* of surviving text, not drop reasons.
+
+    Scale notes: the signal operators are narrow maps or single
+    groupBys; both dedup keep-sides arrive as (id → keep/cluster)
+    frames joined on the id; the near-dup stage reuses the production
+    MinHash+LSH path (bucket caps, anti-join guards) and its clusters
+    keep the min doc id as representative — matching the exact-dedup
+    convention."""
+    base = docs.select(F.col(id_col), F.col(text_col))
+
+    # --- stage group 1: doc-level signals and dedup over the FULL
+    # corpus (dedup must see every doc) ---
+    flags = c4_gopher_filters(base, id_col, text_col).select(
+        id_col, "keep_c4", "keep_gopher"
+    )
+    # exact dedup: keep the min-id representative per text hash
+    exact_rep = (
+        dedup.exact_duplicates(base, id_col, text_col)
+        .select(F.col("representative").alias(id_col), F.lit(True).alias("_exact_keep"))
+    )
+    # near-dup: minhash pairs above threshold → clusters → min-id kept
+    pairs = dedup.minhash_lsh_pairs(
+        base, id_col, text_col, eager=eager
+    ).where(F.col("est_jaccard") >= minhash_threshold)
+    clusters = dedup.connected_components_star(pairs)  # (doc_id, cluster_id)
+    near_drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col), F.lit(True).alias("_near_drop")
+    )
+    pre = (
+        base.join(flags, id_col, "left")
+        .join(exact_rep, id_col, "left")
+        .join(near_drop, id_col, "left")
+        .withColumn(
+            "drop_reason",
+            F.when(F.col(text_col).isNull(), F.lit("null_text"))
+            .when(F.lit(require_c4) & ~F.col("keep_c4"), F.lit("c4_filter"))
+            .when(
+                F.lit(require_gopher) & ~F.col("keep_gopher"), F.lit("gopher_filter")
+            )
+            .when(F.col("_exact_keep").isNull(), F.lit("exact_dup"))
+            .when(F.col("_near_drop").isNotNull(), F.lit("near_dup")),
+        )
+        .drop("_exact_keep", "_near_drop")
+    )
+    if eager:
+        # the survivor frame feeds three downstream operators (substr
+        # stats, line dedup, final tagging) — compute the stage-1 plan
+        # once
+        pre = pre.localCheckpoint(eager=True)
+
+    # --- stage group 2: span/line-level signals over the dedup
+    # SURVIVORS only. Computing them over the full corpus would let
+    # docs that are already dropped poison the statistics: a
+    # byte-identical pair makes its kept representative's rolling
+    # windows (and every one of its lines) look corpus-duplicated, so
+    # the representative itself would be dropped/blanked — the reason
+    # real pipelines sequence doc-level dedup before span-level dedup.
+    survivors = pre.where(F.col("drop_reason").isNull()).select(id_col, text_col)
+    ss = dedup.substr_dup_stats(
+        survivors, id_col, text_col, window_tokens=substr_window_tokens, eager=eager
+    ).select(id_col, "dup_frac")
+    ld = line_dedup(
+        survivors, id_col, text_col, max_doc_freq=line_dedup_max_doc_freq
+    )
+    scrubbed = pii_scrub(ld, text_col="clean_text").select(
+        F.col(id_col),
+        F.col("scrubbed_text").alias("clean_text"),
+        "n_lines_dropped",
+        (F.col("n_emails") + F.col("n_ssns") + F.col("n_ips") + F.col("n_phones"))
+        .cast("long")
+        .alias("n_pii_redactions"),
+    )
+
+    tagged = (
+        pre.join(ss, id_col, "left")
+        .join(scrubbed, id_col, "left")
+        .withColumn(
+            "drop_reason",
+            F.coalesce(
+                F.col("drop_reason"),
+                F.when(
+                    F.coalesce(F.col("dup_frac"), F.lit(0.0)) > max_substr_dup_frac,
+                    F.lit("substr_dup"),
+                ),
+            ),
+        )
+    )
+    if eager:
+        # one computation of the wide signal plan serves both outputs
+        tagged = tagged.localCheckpoint(eager=True)
+    clean = tagged.where(F.col("drop_reason").isNull())
+    report = (
+        tagged.groupBy(
+            F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("reason")
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    return PrepResult(tagged=tagged, clean=clean, report=report)
