@@ -216,6 +216,40 @@ def sample_by_hash(
     return df.where(h < int(rate * buckets))
 
 
+def stratified_sample_by_hash(
+    df: DataFrame,
+    rates: DataFrame,
+    stratum_col: str = "domain",
+    key_col: str = "url",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing step of
+    corpus assembly (down-weight boilerplate-heavy domains, up-weight
+    quality sources): keep a row iff ``xxhash64(key, seed) mod 2^20 <
+    rate(stratum)·2^20``.
+
+    ``rates``: a (stratum, rate) dimension frame — broadcast, so the
+    corpus scan stays shuffle-free; strata absent from it fall back to
+    ``default_rate`` (0.0 = drop unknown strata; 1.0 = keep them).
+    Same determinism/nesting guarantees as :func:`sample_by_hash`:
+    reproducible across partitionings, and a stratum's keep-set at
+    rate r1 < r2 is a subset of its keep-set at r2 (rate schedules can
+    be tightened without resampling)."""
+    buckets = 1 << 20
+    rdim = rates.select(
+        F.col(stratum_col), F.col("rate").cast("double").alias("_rate")
+    )
+    joined = df.join(F.broadcast(rdim), stratum_col, "left")
+    h = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(buckets))
+    return (
+        joined.where(
+            h < (F.coalesce(F.col("_rate"), F.lit(float(default_rate))) * buckets)
+        )
+        .drop("_rate")
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

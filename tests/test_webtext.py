@@ -153,3 +153,33 @@ def test_sample_by_hash_rejects_bad_rate(spark):
     df = spark.createDataFrame([("u",)], "url string")
     with _pytest.raises(ValueError):
         sample_by_hash(df, 1.5)
+
+
+def test_stratified_sample_by_hash(spark):
+    from neurostore_text_extraction_spark.operators.webtext import (
+        sample_by_hash,
+        stratified_sample_by_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(f"u{i}", "good" if i % 2 else "spam") for i in range(2000)],
+        "url string, domain string",
+    )
+    rates = spark.createDataFrame(
+        [("good", 1.0), ("spam", 0.1)], "domain string, rate double"
+    )
+    out = stratified_sample_by_hash(df, rates)
+    by_dom = {r["domain"]: r["n"] for r in out.groupBy("domain").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert by_dom["good"] == 1000  # rate 1.0 keeps everything
+    assert 60 <= by_dom.get("spam", 0) <= 160  # ~10%
+    # per-stratum keep-set equals the flat sampler at the same rate
+    flat = sample_by_hash(df.where("domain = 'spam'"), 0.1)
+    assert {r.url for r in out.where("domain = 'spam'").collect()} == {
+        r.url for r in flat.collect()
+    }
+    # unknown stratum: default_rate=0 drops, 1.0 keeps
+    extra = spark.createDataFrame([("x1", "new")], "url string, domain string")
+    assert stratified_sample_by_hash(extra, rates).count() == 0
+    assert stratified_sample_by_hash(extra, rates, default_rate=1.0).count() == 1
