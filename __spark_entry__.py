@@ -1819,7 +1819,7 @@ def oracle_sql() -> dict[str, str]:
                 ELSE list_transform(generate_series(1, len({_TOKS}) - 19),
                                     i -> array_to_string(({_TOKS})[i:i+19], ' ')) END
               ) AS w
-              FROM documents
+              FROM documents WHERE len({_TOKS}) > 0
             ),
             c AS (SELECT w, COUNT(*) AS n FROM sh GROUP BY w)
             SELECT doc_id, COUNT(*)::BIGINT AS n_windows,

@@ -537,8 +537,9 @@ def substr_dup_stats(
 
     Output: (id, n_windows, n_dup_windows, dup_frac). Docs shorter
     than the window contribute their full token join as one window
-    (consistent with :func:`shingles_col`); callers typically drop or
-    trim docs above a dup_frac threshold.
+    (consistent with :func:`shingles_col`); docs with NO tokens emit
+    no row (they have no substring to deduplicate). Callers typically
+    drop or trim docs above a dup_frac threshold.
 
     Scale shape (10^12 docs): windows are hashed to int64
     (``xxhash64``) before they shuffle, so the exploded frame carries
@@ -552,10 +553,19 @@ def substr_dup_stats(
     xxhash64) — identical results absent int64 hash collisions
     (~n²/2^64; negligible below 10^9 windows, noted here for honesty).
     """
-    win = df.select(
-        F.col(id_col),
-        F.explode(shingles_col(text_col, window_tokens)).alias("w"),
-    ).select(F.col(id_col), F.xxhash64("w").alias("h"))
+    # docs with NO tokens (NULL text, or text with no \w\w+ runs) emit
+    # no row at all: without this guard every such doc shares the ''
+    # window and a pair of unrelated empty docs reads as 100%
+    # duplicated (and NULL-text rows diverge from the SQL twin, where
+    # unnest(NULL) yields nothing)
+    win = (
+        df.where(F.size(tokens_col(text_col)) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(shingles_col(text_col, window_tokens)).alias("w"),
+        )
+        .select(F.col(id_col), F.xxhash64("w").alias("h"))
+    )
     if eager:
         # win feeds both the occurrence count and the dup join — two
         # full tokenize+explode passes without it. The cached frame is

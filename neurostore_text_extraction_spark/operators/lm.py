@@ -140,10 +140,11 @@ def score_perplexity(
         F.count("*").cast("long").alias("n_bigrams"),
         F.avg("neg_logp").alias("avg_neg_logp"),
     )
-    # left join back so 0-bigram docs keep a row
+    # left join back so 0-bigram docs keep a row; the id column is the
+    # corpus key (unique by contract), so no distinct() — that would be
+    # a second full shuffle of every doc id just to dedupe nothing
     return (
         docs.select(id_col)
-        .distinct()
         .join(scored, id_col, "left")
         .select(
             F.col(id_col),

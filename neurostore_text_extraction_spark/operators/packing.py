@@ -44,8 +44,11 @@ def _ffd_pack(max_tokens: int):
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        pdf = pd.concat(list(batches), ignore_index=True) if batches else None
-        if pdf is None or len(pdf) == 0:
+        parts = list(batches)  # a shard with no rows yields no batches
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if len(pdf) == 0:
             return
         pdf = pdf.sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
@@ -90,8 +93,14 @@ def pack_sequences(
     ``num_shards`` bounds per-shard memory in the packing hop (the
     shard must fit in one task); size it so corpus_tokens/num_shards
     is a few hundred MB of (id, count) pairs at most."""
+    id_type = df.schema[id_col].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long"):
+        raise ValueError(
+            f"pack_sequences requires an integral id column; {id_col!r} is "
+            f"{id_type} (a silent cast would NULL non-numeric ids)"
+        )
     counted = df.select(
-        F.col(id_col).alias("doc_id").cast("long"),
+        F.col(id_col).cast("long").alias("doc_id"),
         F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
     )
     if num_shards:

@@ -242,12 +242,13 @@ def stratified_sample_by_hash(
     )
     joined = df.join(F.broadcast(rdim), stratum_col, "left")
     h = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(buckets))
-    return (
-        joined.where(
-            h < (F.coalesce(F.col("_rate"), F.lit(float(default_rate))) * buckets)
-        )
-        .drop("_rate")
-    )
+    # floor the bucket threshold exactly as sample_by_hash's int(rate *
+    # buckets) does — a float comparison would keep one extra boundary
+    # bucket per stratum and break the flat-sampler parity
+    thresh = F.floor(
+        F.coalesce(F.col("_rate"), F.lit(float(default_rate))) * buckets
+    ).cast("long")
+    return joined.where(h < thresh).drop("_rate")
 
 
 def line_dedup(

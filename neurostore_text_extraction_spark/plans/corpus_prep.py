@@ -12,13 +12,17 @@ Spark shape: instead of filtering stage-by-stage (each stage a
 separate pass with its own count() job for reporting), docs are tagged
 with their FIRST failing stage across two plan groups:
 
-- group 1 over the FULL corpus: the narrow filter signals plus the
-  doc-level dedup keep-sides (exact groupBy min-id; minhash pairs →
-  connected components → min-label), joined on the doc id;
-- group 2 over the group-1 SURVIVORS only: span-level signals (substr
-  dup fraction, line dedup, PII scrub) — sequenced after doc-level
-  dedup because an already-dropped duplicate would otherwise poison
-  the span statistics of its kept representative;
+- group 1 over the FULL corpus: the narrow filter signals
+  (null/C4/Gopher);
+- group 2 over the filter SURVIVORS: doc-level dedup keep-sides
+  (exact groupBy min-id; minhash pairs → connected components →
+  min-label) — representatives must be chosen among survivors, or a
+  filter-dropped copy could be the nominal representative and the
+  whole duplicate group would vanish;
+- group 3 over the dedup SURVIVORS: span-level signals (substr dup
+  fraction, line dedup, PII scrub) — sequenced after doc-level dedup
+  because an already-dropped duplicate would otherwise poison the
+  span statistics of its kept representative;
 - one ``drop_reason`` coalesce picks the first failure in pipeline
   order; survivors have reason NULL.
 
@@ -76,44 +80,61 @@ def prepare_training_corpus(
     convention."""
     base = docs.select(F.col(id_col), F.col(text_col))
 
-    # --- stage group 1: doc-level signals and dedup over the FULL
-    # corpus (dedup must see every doc) ---
+    # --- stage group 1: the narrow filter signals over the full
+    # corpus ---
     flags = c4_gopher_filters(base, id_col, text_col).select(
         id_col, "keep_c4", "keep_gopher"
     )
+    filtered = base.join(flags, id_col, "left").withColumn(
+        "drop_reason",
+        F.when(F.col(text_col).isNull(), F.lit("null_text"))
+        .when(F.lit(require_c4) & ~F.col("keep_c4"), F.lit("c4_filter"))
+        .when(F.lit(require_gopher) & ~F.col("keep_gopher"), F.lit("gopher_filter")),
+    )
+    if eager:
+        # consumed by both dedup operators and the final tagging
+        filtered = filtered.localCheckpoint(eager=True)
+
+    # --- stage group 2: doc-level dedup over the FILTER SURVIVORS.
+    # Dedup's contract is "keep one representative per duplicate
+    # group"; choosing the representative from the full corpus would
+    # let a filter-dropped doc (e.g. the copy that happens to contain
+    # 'lorem ipsum') be the nominal representative, dropping every
+    # surviving copy of the content as well — the group would vanish
+    # entirely.
+    filter_ok = filtered.where(F.col("drop_reason").isNull()).select(
+        id_col, text_col
+    )
     # exact dedup: keep the min-id representative per text hash
     exact_rep = (
-        dedup.exact_duplicates(base, id_col, text_col)
+        dedup.exact_duplicates(filter_ok, id_col, text_col)
         .select(F.col("representative").alias(id_col), F.lit(True).alias("_exact_keep"))
     )
     # near-dup: minhash pairs above threshold → clusters → min-id kept
     pairs = dedup.minhash_lsh_pairs(
-        base, id_col, text_col, eager=eager
+        filter_ok, id_col, text_col, eager=eager
     ).where(F.col("est_jaccard") >= minhash_threshold)
     clusters = dedup.connected_components_star(pairs)  # (doc_id, cluster_id)
     near_drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col), F.lit(True).alias("_near_drop")
     )
     pre = (
-        base.join(flags, id_col, "left")
-        .join(exact_rep, id_col, "left")
+        filtered.join(exact_rep, id_col, "left")
         .join(near_drop, id_col, "left")
         .withColumn(
             "drop_reason",
-            F.when(F.col(text_col).isNull(), F.lit("null_text"))
-            .when(F.lit(require_c4) & ~F.col("keep_c4"), F.lit("c4_filter"))
-            .when(
-                F.lit(require_gopher) & ~F.col("keep_gopher"), F.lit("gopher_filter")
-            )
-            .when(F.col("_exact_keep").isNull(), F.lit("exact_dup"))
-            .when(F.col("_near_drop").isNotNull(), F.lit("near_dup")),
+            F.coalesce(
+                F.col("drop_reason"),
+                F.when(F.col("_exact_keep").isNull(), F.lit("exact_dup")).when(
+                    F.col("_near_drop").isNotNull(), F.lit("near_dup")
+                ),
+            ),
         )
         .drop("_exact_keep", "_near_drop")
     )
     if eager:
         # the survivor frame feeds three downstream operators (substr
-        # stats, line dedup, final tagging) — compute the stage-1 plan
-        # once
+        # stats, line dedup, final tagging) — compute the plan once
         pre = pre.localCheckpoint(eager=True)
 
     # --- stage group 2: span/line-level signals over the dedup

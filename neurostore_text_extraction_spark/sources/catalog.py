@@ -51,14 +51,17 @@ class Catalog:
         snaps = self.snapshots(table)
         if as_of is None:
             return snaps
-        kept = [
-            s for s in snaps if int(os.path.basename(s).split("-")[1]) <= as_of
-        ]
+        seqs = [int(os.path.basename(s).split("-")[1]) for s in snaps]
+        if snaps and as_of > max(seqs):
+            raise ValueError(
+                f"snapshot {as_of} of table {table!r} was never committed; "
+                f"newest is {max(seqs)}"
+            )
+        kept = [s for s, n in zip(snaps, seqs) if n <= as_of]
         if snaps and not kept:
             raise ValueError(
                 f"snapshot {as_of} of table {table!r} has been expired by "
-                f"compaction; oldest retained is "
-                f"{int(os.path.basename(snaps[0]).split('-')[1])}"
+                f"compaction; oldest retained is {seqs[0]}"
             )
         return kept
 

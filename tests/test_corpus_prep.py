@@ -91,3 +91,36 @@ def test_all_unique_corpus_nothing_dropped(spark):
     assert out.clean.count() == 5
     rep = {r["reason"]: r["n_docs"] for r in out.report.collect()}
     assert rep == {"kept": 5}
+
+
+def test_duplicate_group_survives_when_nominal_min_id_copy_is_filtered(spark):
+    """If the min-id copy of a duplicate group fails a filter, the
+    surviving copy must be kept as representative — dedup over the
+    full corpus would drop the group's content entirely."""
+    base = _good_text(8, 100)
+    df = spark.createDataFrame(
+        [
+            (1, base + " lorem ipsum"),  # min-id copy, killed by C4
+            (2, base),                   # must survive as representative
+            (3, base),                   # exact dup of 2 -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(df)
+    reasons = {r["doc_id"]: r["drop_reason"] for r in out.tagged.collect()}
+    assert reasons[1] == "c4_filter"
+    assert reasons[2] is None
+    assert reasons[3] == "exact_dup"
+
+
+def test_empty_docs_not_marked_substr_dup(spark):
+    """Token-less docs share no windows (they emit none) — two
+    unrelated empty docs must not read as 100% duplicated."""
+    df = spark.createDataFrame(
+        [(1, "!!! ???"), (2, "??? !!!"), (3, _good_text(9))],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(df, require_c4=False, require_gopher=False)
+    reasons = {r["doc_id"]: r["drop_reason"] for r in out.tagged.collect()}
+    assert reasons[1] != "substr_dup" and reasons[2] != "substr_dup"
+    assert reasons[3] is None

@@ -66,3 +66,20 @@ def test_assemble_packed_orders_and_counts(spark):
         assemble_packed(assigns, df)._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "PythonUDF" not in plan
+
+
+def test_empty_shards_and_default_shard_count(spark):
+    """A hash shard with no rows must yield no output, not crash —
+    with default num_shards the frame repartitions to the session
+    shuffle parallelism, so most shards of a tiny corpus ARE empty."""
+    df = _docs(spark, [5, 9])
+    out = pack_sequences(df, max_tokens=16).collect()  # default shards
+    assert sorted(r["doc_id"] for r in out) == [0, 1]
+    out2 = pack_sequences(df, max_tokens=16, num_shards=64).collect()
+    assert sorted(r["doc_id"] for r in out2) == [0, 1]
+
+
+def test_non_integral_id_rejected(spark):
+    df = spark.createDataFrame([("u1", "tk tk")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="integral id"):
+        pack_sequences(df, max_tokens=16)

@@ -238,6 +238,10 @@ def test_time_travel_read_as_of(spark, tmp_path):
         cat.read(spark, "t", as_of=1)
     # the compacted snapshot itself remains addressable
     assert cat.read(spark, "t", as_of=cat.snapshot_seqs("t")[0]).collect()[0].v == "c"
+    # a sequence that was never committed raises (no plausible-looking
+    # current-state fallback)
+    with _pytest.raises(ValueError, match="never committed"):
+        cat.read(spark, "t", as_of=99)
 
 
 def test_read_latest_dedupes_crashed_compact_state(spark, tmp_path):
