@@ -7,6 +7,7 @@ clusters").
         --input  <pages parquet dir>   # (url, warc_ts, html, text, lang)
         --store  <output store root>   # results/lineage/manifest/runs
         [--num-partitions N] [--salt] [--corpus-scoped] [--no-resume]
+        [--partition-buckets N]        # hive-partition results on url-hash
 
 The package code resolves from the ``--py-files`` zip (built by
 ``scripts/submit.sh``); no repo checkout is needed on the cluster. The
@@ -38,6 +39,13 @@ def main() -> int:
         help="fold the corpus identity digest into the run cache key",
     )
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--partition-buckets",
+        type=int,
+        default=None,
+        help="write results hive-partitioned on pmod(xxhash64(url), N) "
+        "(use the same N for the store's lifetime)",
+    )
     args = ap.parse_args()
 
     from neurostore_text_extraction_spark.plans.pipeline import run_extraction
@@ -53,6 +61,7 @@ def main() -> int:
         resume=not args.no_resume,
         corpus_scoped=args.corpus_scoped,
         salt=args.salt,
+        partition_buckets=args.partition_buckets,
     )
     print(
         json.dumps(
