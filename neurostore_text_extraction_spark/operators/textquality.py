@@ -81,24 +81,11 @@ def quality_features(
     )
 
 
-def c4_gopher_filters(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """The published C4 (Raffel et al. 2020 §2.2) and Gopher (Rae et
-    al. 2021, Table A1) document-filter rules as per-doc signal columns
-    plus the two composite keep flags — the standard web-corpus triage
-    applied before training:
-
-    C4: >=3 sentences; no "lorem ipsum"; no ``{`` (code); and the
-    per-line signals behind its line filter (fraction of non-blank
-    lines ending in terminal punctuation, any line mentioning
-    javascript).
-    Gopher: 50..100k words; mean word length 3..10; hash/ellipsis
-    symbol-to-word ratio < 0.1; >=80% of words contain an alphabetic
-    char; <90% bullet-started lines; <30% ellipsis-ended lines.
-
-    All native column expressions — one narrow map, no shuffle, exact
-    DuckDB twin (joined into the ``quality_features`` oracle row)."""
+def c4_gopher_signal_cols(text_col: str = "text") -> dict[str, Column]:
+    """The C4/Gopher signal columns as a name→Column dict, so callers
+    composing a wider per-doc plan (e.g. ``plans/corpus_prep``) can
+    ``withColumns`` them in place instead of computing a same-
+    cardinality frame and join-shuffling it back onto the corpus."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     lower = F.lower(t)
     # whitespace words (Gopher counts words, not sklearn tokens)
@@ -156,21 +143,44 @@ def c4_gopher_filters(
         & (frac_bullet < 0.9)
         & (frac_ellipsis_end < 0.3)
     )
+    return {
+        "n_words": n_words.cast("long"),
+        "n_sentences": n_sentences.cast("long"),
+        "mean_word_len": F.round(mean_word_len, 4),
+        "symbol_word_ratio": F.round(symbol_word_ratio, 4),
+        "frac_alpha_words": F.round(frac_alpha, 4),
+        "frac_lines_term_punct": F.round(frac_term_punct, 4),
+        "frac_lines_bullet": F.round(frac_bullet, 4),
+        "frac_lines_ellipsis_end": F.round(frac_ellipsis_end, 4),
+        "has_lorem_ipsum": has_lorem,
+        "has_curly_brace": has_brace,
+        "has_javascript_line": has_js_line,
+        "keep_c4": keep_c4,
+        "keep_gopher": keep_gopher,
+    }
+
+
+def c4_gopher_filters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The published C4 (Raffel et al. 2020 §2.2) and Gopher (Rae et
+    al. 2021, Table A1) document-filter rules as per-doc signal columns
+    plus the two composite keep flags — the standard web-corpus triage
+    applied before training:
+
+    C4: >=3 sentences; no "lorem ipsum"; no ``{`` (code); and the
+    per-line signals behind its line filter (fraction of non-blank
+    lines ending in terminal punctuation, any line mentioning
+    javascript).
+    Gopher: 50..100k words; mean word length 3..10; hash/ellipsis
+    symbol-to-word ratio < 0.1; >=80% of words contain an alphabetic
+    char; <90% bullet-started lines; <30% ellipsis-ended lines.
+
+    All native column expressions — one narrow map, no shuffle, exact
+    DuckDB twin (joined into the ``quality_features`` oracle row)."""
+    cols = c4_gopher_signal_cols(text_col)
     return df.select(
-        F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        n_sentences.cast("long").alias("n_sentences"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(symbol_word_ratio, 4).alias("symbol_word_ratio"),
-        F.round(frac_alpha, 4).alias("frac_alpha_words"),
-        F.round(frac_term_punct, 4).alias("frac_lines_term_punct"),
-        F.round(frac_bullet, 4).alias("frac_lines_bullet"),
-        F.round(frac_ellipsis_end, 4).alias("frac_lines_ellipsis_end"),
-        has_lorem.alias("has_lorem_ipsum"),
-        has_brace.alias("has_curly_brace"),
-        has_js_line.alias("has_javascript_line"),
-        keep_c4.alias("keep_c4"),
-        keep_gopher.alias("keep_gopher"),
+        F.col(id_col), *(c.alias(name) for name, c in cols.items())
     )
 
 

@@ -256,6 +256,7 @@ def line_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_freq: int = 1,
+    broadcast_keys: bool = True,
 ) -> DataFrame:
     """Inter-document line-level dedup (C4 §2.1 / RefinedWeb-style):
     drop every non-blank line whose trimmed form appears in more than
@@ -272,12 +273,16 @@ def line_dedup(
 
     - line key frequencies: ``distinct(doc, key) → groupBy(key).count``
       — both map-side combinable, one shuffle on the line key;
-    - the over-frequency key set is the *boilerplate* of the crawl —
-      tiny relative to the corpus — so it is **broadcast** back as a
-      dup-flag left join: the heavy exploded-lines frame never shuffles
-      a second time (same broadcast-cap pattern as the dedup guards;
+    - the over-frequency key set comes back as a dup-flag left join —
       never a ``count().over(Window)``, which would funnel the most
-      common line into one task);
+      common line of the crawl into one task. With the default
+      ``broadcast_keys=True`` it is broadcast, so the heavy exploded-
+      lines frame never shuffles a second time. Honesty at extreme
+      scale: at ``max_doc_freq=1`` the set is *every* cross-doc-
+      duplicated distinct line, which on a full crawl can exceed
+      broadcast limits — pass ``broadcast_keys=False`` there to let
+      AQE choose (it still broadcasts small sets at runtime, and falls
+      back to a shuffle join instead of OOMing the driver);
     - reassembly + both counters come from ONE groupBy on the doc id
       (collect_list skips the nulled-out dropped lines) with an
       array_sort over (pos, line) — bounded by lines-per-doc, not
@@ -304,8 +309,9 @@ def line_dedup(
     # the reassembled text and both counters in a single per-doc
     # aggregation (collect_list skips the nulled-out dropped lines) —
     # one pass over the exploded lines, not one per counter
+    cap_side = F.broadcast(over_cap) if broadcast_keys else over_cap
     flagged = keyed.join(
-        F.broadcast(over_cap), F.col("_key") == F.col("_drop_key"), "left"
+        cap_side, F.col("_key") == F.col("_drop_key"), "left"
     )
     agg = flagged.groupBy(id_col).agg(
         F.concat_ws(

@@ -39,7 +39,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators import dedup
-from ..operators.textquality import c4_gopher_filters
+from ..operators.textquality import c4_gopher_signal_cols
 from ..operators.webtext import line_dedup, pii_scrub
 
 
@@ -81,11 +81,13 @@ def prepare_training_corpus(
     base = docs.select(F.col(id_col), F.col(text_col))
 
     # --- stage group 1: the narrow filter signals over the full
-    # corpus ---
-    flags = c4_gopher_filters(base, id_col, text_col).select(
-        id_col, "keep_c4", "keep_gopher"
-    )
-    filtered = base.join(flags, id_col, "left").withColumn(
+    # corpus, appended IN PLACE (a same-cardinality signals frame
+    # joined back on the id would shuffle the whole corpus twice for
+    # columns that are pure functions of the text) ---
+    sig = c4_gopher_signal_cols(text_col)
+    filtered = base.withColumns(
+        {"keep_c4": sig["keep_c4"], "keep_gopher": sig["keep_gopher"]}
+    ).withColumn(
         "drop_reason",
         F.when(F.col(text_col).isNull(), F.lit("null_text"))
         .when(F.lit(require_c4) & ~F.col("keep_c4"), F.lit("c4_filter"))
