@@ -346,6 +346,30 @@ def line_dedup(
     )
 
 
+def dedup_paragraphs_col(text: Column, sep: str = "\n\n") -> Column:
+    """Within-document paragraph dedup (the transformation behind the
+    ``dup_line_frac``-style repetition signals): drop every repeat of
+    an earlier paragraph, keeping first occurrences in order.
+    ``array_distinct`` preserves first-occurrence order, so this is a
+    single narrow expression — no shuffle, no UDF. NULL passes
+    through. ``sep`` is treated as a literal separator (regex-escaped
+    for the split, verbatim for the rejoin)."""
+    import re as _re
+
+    return F.when(
+        text.isNotNull(),
+        F.array_join(F.array_distinct(F.split(text, _re.escape(sep))), sep),
+    )
+
+
+def dedup_within_doc(
+    df: DataFrame, text_col: str = "text", sep: str = "\n\n", out_col: str | None = None
+) -> DataFrame:
+    return df.withColumn(
+        out_col or text_col, dedup_paragraphs_col(F.col(text_col), sep)
+    )
+
+
 def contamination_check(
     df: DataFrame,
     benchmark: DataFrame,

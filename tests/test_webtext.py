@@ -183,3 +183,22 @@ def test_stratified_sample_by_hash(spark):
     extra = spark.createDataFrame([("x1", "new")], "url string, domain string")
     assert stratified_sample_by_hash(extra, rates).count() == 0
     assert stratified_sample_by_hash(extra, rates, default_rate=1.0).count() == 1
+
+
+def test_dedup_within_doc_paragraphs(spark):
+    from neurostore_text_extraction_spark.operators.webtext import dedup_within_doc
+
+    rows = [
+        (1, "para one\n\npara two\n\npara one\n\npara three\n\npara two"),
+        (2, None),
+        (3, "only para"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["text"] for r in dedup_within_doc(df).collect()}
+    assert got[1] == "para one\n\npara two\n\npara three"  # first occurrences, in order
+    assert got[2] is None
+    assert got[3] == "only para"
+    # regex-metacharacter separator treated literally
+    df2 = spark.createDataFrame([(1, "a||b||a")], "doc_id int, text string")
+    got2 = dedup_within_doc(df2, sep="||").collect()[0]["text"]
+    assert got2 == "a||b"
