@@ -65,10 +65,15 @@ def prepare_training_corpus(
     substr_window_tokens: int = 20,
     max_substr_dup_frac: float = 0.5,
     minhash_threshold: float = 0.7,
+    quality_model=None,
+    min_clf_score: float = 0.5,
     eager: bool = True,
 ) -> PrepResult:
     """See module docstring. Stage order (first failure wins):
-    ``null_text`` → ``c4_filter`` → ``gopher_filter`` → ``exact_dup``
+    ``null_text`` → ``c4_filter`` → ``gopher_filter`` →
+    ``quality_clf`` (only when a ``quality_model`` with a
+    ``score_col()`` — see ``operators/quality_classifier`` — is
+    passed; docs scoring below ``min_clf_score`` drop) → ``exact_dup``
     → ``near_dup`` → ``substr_dup``. Line dedup and PII scrubbing are
     *transformations* of surviving text, not drop reasons.
 
@@ -85,14 +90,30 @@ def prepare_training_corpus(
     # joined back on the id would shuffle the whole corpus twice for
     # columns that are pure functions of the text) ---
     sig = c4_gopher_signal_cols(text_col)
-    filtered = base.withColumns(
-        {"keep_c4": sig["keep_c4"], "keep_gopher": sig["keep_gopher"]}
-    ).withColumn(
-        "drop_reason",
+    reason = (
         F.when(F.col(text_col).isNull(), F.lit("null_text"))
         .when(F.lit(require_c4) & ~F.col("keep_c4"), F.lit("c4_filter"))
-        .when(F.lit(require_gopher) & ~F.col("keep_gopher"), F.lit("gopher_filter")),
+        .when(F.lit(require_gopher) & ~F.col("keep_gopher"), F.lit("gopher_filter"))
     )
+    filtered = base.withColumns(
+        {"keep_c4": sig["keep_c4"], "keep_gopher": sig["keep_gopher"]}
+    )
+    if quality_model is not None:
+        # learned filter (quality_classifier.QualityModel, duck-typed
+        # on .score_col()): a pure column expression over the same
+        # signal columns — still a narrow map, still no join. Feature
+        # columns are added first (score_col reads them), then dropped.
+        from ..operators.quality_classifier import FEATURE_COLS
+
+        filtered = (
+            filtered.withColumns({c: sig[c].cast("double") for c in FEATURE_COLS})
+            .withColumn("quality_clf_score", F.round(quality_model.score_col(), 6))
+            .drop(*FEATURE_COLS)
+        )
+        reason = reason.when(
+            F.col("quality_clf_score") < min_clf_score, F.lit("quality_clf")
+        )
+    filtered = filtered.withColumn("drop_reason", reason)
     if eager:
         # consumed by both dedup operators and the final tagging
         filtered = filtered.localCheckpoint(eager=True)

@@ -124,3 +124,27 @@ def test_empty_docs_not_marked_substr_dup(spark):
     reasons = {r["doc_id"]: r["drop_reason"] for r in out.tagged.collect()}
     assert reasons[1] != "substr_dup" and reasons[2] != "substr_dup"
     assert reasons[3] is None
+
+
+def test_optional_quality_classifier_stage(spark):
+    from neurostore_text_extraction_spark.operators.quality_classifier import (
+        train_quality_classifier,
+    )
+
+    spam = "- buy now ### deal ...\n- click here ...\n- spam spam ..."
+    ref = spark.createDataFrame(
+        [(_good_text(i),) for i in range(20)], "text string"
+    )
+    crawl = spark.createDataFrame([(spam,) for _ in range(20)], "text string")
+    model = train_quality_classifier(ref, crawl)
+    df = spark.createDataFrame(
+        [(1, _good_text(50)), (2, spam)], "doc_id long, text string"
+    )
+    out = prepare_training_corpus(
+        df, require_c4=False, require_gopher=False, quality_model=model
+    )
+    reasons = {r["doc_id"]: r["drop_reason"] for r in out.tagged.collect()}
+    assert reasons[1] is None
+    assert reasons[2] == "quality_clf"
+    scores = {r["doc_id"]: r["quality_clf_score"] for r in out.tagged.collect()}
+    assert scores[1] > 0.9 and scores[2] < 0.1
