@@ -1,16 +1,17 @@
 """The standard web-corpus preparation chain, composed end-to-end:
 
-    C4 + Gopher filters → inter-doc line dedup → PII scrub
+    C4 + Gopher filters [→ learned quality classifier]
       → exact dedup → MinHash near-dup clustering (keep representative)
       → ExactSubstr dup-fraction cap
+      → inter-doc line dedup → PII scrub (transformations)
 
 One call, one cleaned corpus, one per-reason drop report — the
 pipeline a training-data user actually runs (C4 §2.2, Gopher A1,
-RefinedWeb §3, CCNet), built from this repo's operators.
+GPT-3 §A.2, RefinedWeb §3, CCNet), built from this repo's operators.
 
 Spark shape: instead of filtering stage-by-stage (each stage a
 separate pass with its own count() job for reporting), docs are tagged
-with their FIRST failing stage across two plan groups:
+with their FIRST failing stage across three plan groups:
 
 - group 1 over the FULL corpus: the narrow filter signals
   (null/C4/Gopher);
@@ -160,7 +161,7 @@ def prepare_training_corpus(
         # stats, line dedup, final tagging) — compute the plan once
         pre = pre.localCheckpoint(eager=True)
 
-    # --- stage group 2: span/line-level signals over the dedup
+    # --- stage group 3: span/line-level signals over the dedup
     # SURVIVORS only. Computing them over the full corpus would let
     # docs that are already dropped poison the statistics: a
     # byte-identical pair makes its kept representative's rolling
