@@ -54,13 +54,29 @@ _MH_MOD = 1 << 32
 
 def shingles_col(text_col: str = "text", k: int = 3):
     """k-word shingles as space-joined strings from the sklearn-parity
-    tokenizer; docs shorter than k words get their full token join."""
+    tokenizer; docs shorter than k words get their full token join.
+
+    Linear construction: k aligned slices of the token array zipped
+    with pairwise concat — O(k·T) per doc. (The obvious
+    ``transform(sequence(...), i -> slice(toks, i+1, k))`` form
+    re-slices per element: O(T²) in document length, measured as
+    minutes per 100 KB web page — the same quadratic-lambda trap as
+    the repetition top-word fold.)"""
     t = tokens_col(text_col)
+    n = F.size(t) - (k - 1)  # shingle count when size >= k
+
+    def _windows():
+        sh = F.slice(t, 1, n)
+        for j in range(1, k):
+            sh = F.zip_with(
+                sh,
+                F.slice(t, j + 1, n),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return sh
+
     return F.when(F.size(t) < k, F.array(F.concat_ws(" ", t))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - k),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
-        )
+        _windows()
     )
 
 

@@ -212,13 +212,12 @@ def fingerprints(
     """Winnowing-lite document fingerprint: the lexicographic min and
     max md5 over k-word shingles (rolling-hash selection) + token
     count; robust to small edits away from the extremes."""
+    from .dedup import shingles_col
+
     toks = tokens_col(text_col)
-    sh = F.when(F.size(toks) < shingle_words, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - shingle_words),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_words)),
-        )
-    )
+    # linear shingle construction (shared with the dedup family — the
+    # inline transform+slice form is quadratic in document length)
+    sh = shingles_col(text_col, shingle_words)
     hashes = F.transform(sh, F.md5)
     return df.select(
         F.col(id_col),
