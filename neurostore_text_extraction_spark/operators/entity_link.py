@@ -31,16 +31,24 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _ngram_counts(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, ngram, cnt) rows via native substring explode."""
-    low = F.lower(F.col(text_col))
-    grams = F.when(F.length(low) < n, F.array(low)).otherwise(
+    """(id, ngram, cnt) rows via native substring explode.
+
+    The lowered text is materialized as a column BEFORE the transform:
+    a compound expression (``lower(text)``) captured inside a
+    higher-order-function lambda is re-evaluated per element —
+    quadratic in string length (the shingles_col/top-word trap). A
+    plain column reference binds to the row value once."""
+    lowered = df.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("_lc")
+    )
+    grams = F.when(F.length(F.col("_lc")) < n, F.array(F.col("_lc"))).otherwise(
         F.expr(
-            f"transform(sequence(1, length(lower({text_col})) - {n - 1}), "
-            f"i -> substring(lower({text_col}), i, {n}))"
+            f"transform(sequence(1, length(_lc) - {n - 1}), "
+            f"i -> substring(_lc, i, {n}))"
         )
     )
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("ng"))
+        lowered.select(F.col(id_col), F.explode(grams).alias("ng"))
         .groupBy(id_col, "ng")
         .agg(F.count("*").cast("double").alias("cnt"))
     )
