@@ -109,11 +109,17 @@ class Catalog:
 
         ``as_of``: Iceberg-style time travel — read the table as it
         was at snapshot sequence ``as_of`` (see :meth:`snapshot_seqs`);
-        scan-level pruning, only the visible snapshot files are read."""
+        scan-level pruning, only the visible snapshot files are read.
+
+        Schema evolution: snapshots are read with ``mergeSchema``, so
+        a column added in a later snapshot appears (NULL for earlier
+        rows) instead of being silently dropped by the default
+        first-file-schema read. Footer merging costs O(files), bounded
+        by auto-compaction."""
         snaps = self._snaps_as_of(table, as_of)
         if not snaps:
             return None
-        return spark.read.parquet(*snaps)
+        return spark.read.option("mergeSchema", "true").parquet(*snaps)
 
     def read_latest(
         self,
@@ -134,7 +140,11 @@ class Catalog:
         snaps = self._snaps_as_of(table, as_of)
         if not snaps:
             return None
-        df = spark.read.parquet(*snaps).withColumn("_snap", F.input_file_name())
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*snaps)
+            .withColumn("_snap", F.input_file_name())
+        )
         order = [F.col("_snap").desc()]
         if order_col is not None:
             order.append(F.col(order_col).desc())
@@ -185,7 +195,9 @@ class Catalog:
         ]
         df = parts[0]
         for p in parts[1:]:
-            df = df.unionByName(p)
+            # schema evolution: older snapshots may lack later-added
+            # columns — they compact to NULL in those columns
+            df = df.unionByName(p, allowMissingColumns=True)
         order = [F.col("_snap_seq").desc()]
         if order_col is not None:
             order.append(F.col(order_col).desc())

@@ -414,3 +414,27 @@ def test_partitioned_results_write_and_bucket_pruned_lookup(spark, tmp_path):
     assert len(snaps) == 1
     assert any(d.startswith("url_bucket=") for d in os.listdir(snaps[0]))
     assert read_results(spark, store).count() == 30
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """A column added in a later snapshot must appear on read (NULL
+    for earlier rows) — the default first-file-schema read silently
+    DROPS it — and must survive latest-pick reads and compaction."""
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.append(spark.createDataFrame([(1, "a")], "k int, v string"), "t")
+    cat.append(
+        spark.createDataFrame([(2, "b", 9.5)], "k int, v string, score double"),
+        "t",
+    )
+    df = cat.read(spark, "t")
+    assert set(df.columns) == {"k", "v", "score"}
+    rows = {r["k"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+    latest = cat.read_latest(spark, "t", ["k"])
+    assert {r["k"]: r["score"] for r in latest.collect()} == {1: None, 2: 9.5}
+
+    cat.compact(spark, "t", key_cols=["k"])
+    after = cat.read(spark, "t")
+    assert set(after.columns) == {"k", "v", "score"}
+    assert after.count() == 2
