@@ -388,3 +388,60 @@ def embedding_mean_pool(
         F.col(id_col),
         F.transform(F.col("_sum"), lambda x: x / F.col("_n")).alias("mean_embedding"),
     )
+
+
+def ivf_write(assigned: DataFrame, path: str) -> None:
+    """Persist an IVF-assigned corpus hive-partitioned by its inverted
+    list — the physical layout that turns a query's probe set into
+    planning-time partition pruning (only the probed lists' directories
+    are scanned, 1/k-ish of the store per probe)."""
+    assigned.repartition(F.col("_list")).write.mode("overwrite").partitionBy(
+        "_list"
+    ).parquet(path)
+
+
+def _probe_lists_py(centroids: list[list[float]], qvec, nprobe: int) -> list[int]:
+    d2 = [
+        (sum((float(x) - float(y)) ** 2 for x, y in zip(qvec, c)), i)
+        for i, c in enumerate(centroids)
+    ]
+    return [i for _, i in sorted(d2)[:nprobe]]
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search against an :func:`ivf_write` store. The query batch
+    is small by contract (it is broadcast in the search join anyway),
+    so its probe lists are computed driver-side and the UNION of
+    probed lists becomes a static ``_list IN (...)`` predicate — the
+    scan plans only those partition directories; everything after
+    delegates to :func:`ivf_topk`'s join + exact re-rank."""
+    qrows = queries.select(query_id_col, vec_col).collect()
+    union: set[int] = set()
+    for r in qrows:
+        union.update(_probe_lists_py(centroids, r[vec_col], nprobe))
+    # structural pruning: pass ONLY the probed partition directories to
+    # the reader (basePath recovers the _list column) — the non-probed
+    # lists never even enter the file index, stronger than relying on
+    # predicate-based partition pruning
+    probe_paths = [f"{path}/_list={int(x)}" for x in sorted(union)]
+    assigned = spark.read.option("basePath", path).parquet(*probe_paths)
+    return ivf_topk(
+        assigned,
+        centroids,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )

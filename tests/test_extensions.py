@@ -368,3 +368,49 @@ def test_ivf_build_and_search_recall(spark):
     one_ids = {(r.query_id, r.vec_id) for r in one.collect()}
     assert len(one_ids & exact_ids) / len(exact_ids) == 1.0
     assigned.unpersist()
+
+
+def test_ivf_partitioned_store_prunes_at_scan(spark, tmp_path):
+    """ivf_write + ivf_topk_indexed: the store is hive-partitioned by
+    inverted list; a 1-probe query batch plans ONLY its probed list
+    directories (static partition pruning) and returns the same rows
+    as the in-memory search."""
+    import math
+    import random
+
+    from neurostore_text_extraction_spark.operators import similarity
+
+    rng = random.Random(11)
+    dim = 16
+    rows = []
+    for c in range(4):
+        center = [1.0 if i == c * 4 else 0.0 for i in range(dim)]
+        for j in range(25):
+            v = [x + rng.uniform(-0.05, 0.05) for x in center]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((c * 100 + j, [x / n for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = similarity.ivf_build(vecs, dim=dim, n_centroids=4, n_iters=2)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write(assigned, path)
+    import os
+
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("_list="))
+    assert len(dirs) >= 2  # clusters landed in distinct partitions
+
+    queries = vecs.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivf_topk_indexed(spark, path, cents, queries, k=5, nprobe=1)
+    mem = similarity.ivf_topk(assigned, cents, queries, k=5, nprobe=1)
+    assert got.exceptAll(mem).count() == 0 and mem.exceptAll(got).count() == 0
+    # the scan reads files from exactly ONE _list partition directory
+    import re
+
+    probed = {
+        m.group(1)
+        for f in got.inputFiles()
+        for m in [re.search(r"_list=(\d+)", f)]
+        if m
+    }
+    assert len(probed) == 1
