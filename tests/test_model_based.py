@@ -99,3 +99,53 @@ def test_packing_matches_python_ffd_on_random_sizes(spark):
             for r in pack_sequences(df, max_tokens=cap, num_shards=1).collect()
         }
         assert got == _py_ffd(sizes, cap), f"trial {trial} cap {cap}"
+
+
+def _py_substr_dup(docs: dict[int, str | None], w: int):
+    """Reference model of substr_dup_stats semantics."""
+    import re
+    from collections import Counter
+
+    def windows(t):
+        toks = re.findall(r"\w\w+", t.lower())
+        if not toks:
+            return []
+        if len(toks) < w:
+            return [" ".join(toks)]
+        return [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+
+    per_doc = {
+        d: windows(t) for d, t in docs.items() if t is not None
+    }
+    counts = Counter(x for ws in per_doc.values() for x in ws)
+    out = {}
+    for d, ws in per_doc.items():
+        if not ws:
+            continue  # token-less docs emit no row
+        nd = sum(1 for x in ws if counts[x] > 1)
+        out[d] = (len(ws), nd, round(nd / len(ws), 6))
+    return out
+
+
+def test_substr_dup_matches_python_model(spark):
+    from neurostore_text_extraction_spark.operators.dedup import substr_dup_stats
+
+    rng = random.Random(13)
+    vocab = [f"word{i}" for i in range(12)]
+    for trial in range(2):
+        docs = {}
+        for d in range(30):
+            r = rng.random()
+            if r < 0.05:
+                docs[d] = None
+            elif r < 0.1:
+                docs[d] = "!!! ???"  # token-less
+            else:
+                docs[d] = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))
+        w = rng.choice([3, 5])
+        df = spark.createDataFrame(list(docs.items()), "doc_id int, text string")
+        got = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+            for r in substr_dup_stats(df, window_tokens=w).collect()
+        }
+        assert got == _py_substr_dup(docs, w), f"trial {trial} w {w}"
