@@ -113,6 +113,13 @@ def score_perplexity(
     tokens have no bigrams → n_bigrams 0, NULL scores (callers filter
     or impute; CCNet drops them).
 
+    ``id_col`` must be unique (it is the corpus key everywhere in this
+    repo): a duplicated id yields one output row per input row. This
+    is deliberately NOT validated here — deduplicating defensively
+    would cost a corpus-wide shuffle on every call; callers holding a
+    multi-snapshot union must latest-pick (``Catalog.read_latest``)
+    first.
+
     Both count tables are vocabulary-sized → broadcast joins; the only
     shuffle over the corpus is the final doc-id aggregation."""
     v = float(lm.vocab_size)

@@ -4,14 +4,15 @@ short documents so a training sequence wastes no budget on padding).
 
 Globally optimal bin packing does not distribute; the standard
 practice is **shard-local packing**: partition the corpus
-deterministically, pack each shard independently with first-fit
-decreasing (FFD — within 11/9·OPT+1 bins of optimal per shard), and
+deterministically, pack each shard independently with best-fit
+decreasing (BFD — within 11/9·OPT+1 bins of optimal per shard, one
+bisect per placement instead of first-fit's linear bin scan), and
 name sequences (shard, local index). That is exactly the Spark shape
 here:
 
     docs → token count (native expr)
          → repartition(num_shards, xxhash64(id))     # deterministic shards
-         → mapInPandas(FFD per shard)                # the one Python hop
+         → mapInPandas(BFD per shard)                # the one Python hop
          → (seq_id, id, pos, n_tokens) assignments
 
 Packing is per-partition imperative logic — the documented legitimate
@@ -20,9 +21,12 @@ carries only (id, n_tokens): the text never enters Python;
 :func:`assemble_packed` rebuilds the packed text JVM-side afterwards.
 
 Determinism: shard membership is a pure function of the id hash and
-the shard count, and FFD sorts by (n_tokens desc, id) — same input +
-same ``num_shards`` → identical assignments, independent of the
-upstream partitioning or task scheduling.
+the shard count (an explicit count is always passed to repartition —
+a count-less repartition is AQE-coalescible), and BFD sorts by
+(n_tokens desc, id) with index tie-breaks — same input + same
+``num_shards`` (default: the session's defaultParallelism) →
+identical assignments, independent of the upstream partitioning or
+task scheduling.
 """
 
 from __future__ import annotations
@@ -40,8 +44,10 @@ ASSIGN_SCHEMA = (
 )
 
 
-def _ffd_pack(max_tokens: int):
+def _bfd_pack(max_tokens: int):
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import bisect
+
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         parts = list(batches)  # a shard with no rows yields no batches
@@ -53,21 +59,26 @@ def _ffd_pack(max_tokens: int):
         pdf = pdf.sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
         ).reset_index(drop=True)
-        bins: list[int] = []  # remaining budget per bin
-        members: list[list[tuple[int, int]]] = []  # (doc_id, n_tokens)
+        # best-fit decreasing with the open bins kept SORTED by
+        # (remaining, bin_idx): each placement is one bisect + one
+        # list surgery — O(n log n) per shard. (A first-fit linear
+        # scan over open bins is O(n·bins): quadratic at the 10^6+
+        # docs/shard this is sized for.) Ties on remaining capacity
+        # break on bin index, keeping placement deterministic.
+        open_bins: list[tuple[int, int]] = []  # sorted (remaining, idx)
+        members: list[list[tuple[int, int]]] = []  # idx -> (doc_id, n)
         for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
             n = int(n)
-            placed = False
-            for b, rem in enumerate(bins):
-                if n <= rem:
-                    bins[b] = rem - n
-                    members[b].append((int(doc_id), n))
-                    placed = True
-                    break
-            if not placed:
-                # oversize docs (> max_tokens) get a bin of their own
-                bins.append(max(max_tokens - n, 0))
+            i = bisect.bisect_left(open_bins, (n, -1))
+            if i < len(open_bins):
+                rem, idx = open_bins.pop(i)  # tightest bin that fits
+                members[idx].append((int(doc_id), n))
+                bisect.insort(open_bins, (rem - n, idx))
+            else:
+                # no bin fits (incl. oversize docs > max_tokens)
+                idx = len(members)
                 members.append([(int(doc_id), n)])
+                bisect.insort(open_bins, (max(max_tokens - n, 0), idx))
         rows = []
         for b, docs in enumerate(members):
             for pos, (doc_id, n) in enumerate(docs):
@@ -101,13 +112,23 @@ def pack_sequences(
         )
     counted = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+        # NULL text → 0 tokens (the doc still packs, completeness
+        # holds; a NULL size would reach pandas as NaN and crash the
+        # kernel's int()); greatest() also guards the legacy
+        # sizeOfNull=-1 config
+        F.greatest(
+            F.coalesce(F.size(tokens_col(text_col)), F.lit(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_tokens"),
     )
-    if num_shards:
-        counted = counted.repartition(num_shards, F.xxhash64(F.col("doc_id")))
-    else:
-        counted = counted.repartition(F.xxhash64(F.col("doc_id")))
-    return counted.mapInPandas(_ffd_pack(max_tokens), ASSIGN_SCHEMA)
+    if num_shards is None:
+        # pin an EXPLICIT count: repartition(expr) without one is
+        # AQE-coalescible, which would make partition ids — and hence
+        # seq_ids/shard membership — vary across runs
+        num_shards = df.sparkSession.sparkContext.defaultParallelism
+    counted = counted.repartition(num_shards, F.xxhash64(F.col("doc_id")))
+    return counted.mapInPandas(_bfd_pack(max_tokens), ASSIGN_SCHEMA)
 
 
 def assemble_packed(

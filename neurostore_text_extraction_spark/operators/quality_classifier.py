@@ -42,10 +42,10 @@ FEATURE_COLS = (
 )
 
 
-def _featurize(df: DataFrame, text_col: str) -> DataFrame:
+def _featurize(df: DataFrame, text_col: str, prefix: str = "") -> DataFrame:
     sig = c4_gopher_signal_cols(text_col)
     return df.withColumns(
-        {c: sig[c].cast("double") for c in FEATURE_COLS}
+        {prefix + c: sig[c].cast("double") for c in FEATURE_COLS}
     )
 
 
@@ -58,10 +58,10 @@ class QualityModel:
     coefficients: list[float]
     intercept: float
 
-    def score_col(self) -> Column:
+    def score_col(self, prefix: str = "") -> Column:
         z = F.lit(float(self.intercept))
         for c, w in zip(FEATURE_COLS, self.coefficients):
-            z = z + F.col(c) * float(w)
+            z = z + F.col(prefix + c) * float(w)
         return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
@@ -119,11 +119,13 @@ def score_quality(
     """Append ``quality_clf_score`` in [0,1] (P(reference-like)) — a
     pure column expression over the raw signal columns: the corpus
     scan stays narrow, nothing ships to Python, no ml runtime on the
-    scoring path."""
+    scoring path. Internal feature columns are name-prefixed so a
+    caller's own ``n_words``/``mean_word_len``/... columns survive
+    untouched."""
     return (
-        _featurize(df, text_col)
-        .withColumn("quality_clf_score", model.score_col())
-        .drop(*FEATURE_COLS)
+        _featurize(df, text_col, prefix="_qc_")
+        .withColumn("quality_clf_score", model.score_col(prefix="_qc_"))
+        .drop(*["_qc_" + c for c in FEATURE_COLS])
     )
 
 

@@ -432,8 +432,32 @@ def ivf_topk_indexed(
     # structural pruning: pass ONLY the probed partition directories to
     # the reader (basePath recovers the _list column) — the non-probed
     # lists never even enter the file index, stronger than relying on
-    # predicate-based partition pruning
-    probe_paths = [f"{path}/_list={int(x)}" for x in sorted(union)]
+    # predicate-based partition pruning. partitionBy writes no dir for
+    # an EMPTY inverted list (k-means leaves empty clusters routinely),
+    # so probed lists are intersected with the dirs that exist; no
+    # existing dir (or no queries) → empty result, not PATH_NOT_FOUND.
+    import os
+
+    existing = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("_list=")
+    }
+    probe_paths = [
+        f"{path}/_list={int(x)}" for x in sorted(union) if int(x) in existing
+    ]
+    if not probe_paths:
+        empty = spark.read.option("basePath", path).parquet(path).limit(0)
+        return ivf_topk(
+            empty,
+            centroids,
+            queries,
+            k=k,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
     assigned = spark.read.option("basePath", path).parquet(*probe_paths)
     return ivf_topk(
         assigned,

@@ -237,8 +237,17 @@ def stratified_sample_by_hash(
     rate r1 < r2 is a subset of its keep-set at r2 (rate schedules can
     be tightened without resampling)."""
     buckets = 1 << 20
-    rdim = rates.select(
-        F.col(stratum_col), F.col("rate").cast("double").alias("_rate")
+    # one row per stratum, defensively: a duplicate stratum entry in
+    # the rates dim would FAN OUT every corpus row of that stratum
+    # through the join (duplicated sample rows). max() is
+    # deterministic and idempotent; the dim is broadcast-small so the
+    # extra agg is free.
+    rdim = (
+        rates.select(
+            F.col(stratum_col), F.col("rate").cast("double").alias("_rate")
+        )
+        .groupBy(stratum_col)
+        .agg(F.max("_rate").alias("_rate"))
     )
     joined = df.join(F.broadcast(rdim), stratum_col, "left")
     h = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(buckets))

@@ -68,17 +68,19 @@ def test_line_dedup_matches_python_model_on_random_corpora(spark):
         assert got == _py_line_dedup(docs, cap), f"trial {trial} cap {cap}"
 
 
-def _py_ffd(sizes: dict[int, int], max_tokens: int):
-    """Reference FFD over one shard: returns doc_id -> (bin, pos)."""
+def _py_bfd(sizes: dict[int, int], max_tokens: int):
+    """Reference best-fit-decreasing over one shard: each doc goes to
+    the open bin with the SMALLEST remaining capacity that fits (ties
+    on lower bin index); returns doc_id -> (bin, pos)."""
     order = sorted(sizes, key=lambda d: (-sizes[d], d))
     bins, members = [], []
     for d in order:
         n = sizes[d]
-        for b, rem in enumerate(bins):
-            if n <= rem:
-                bins[b] = rem - n
-                members[b].append(d)
-                break
+        fits = [(rem, b) for b, rem in enumerate(bins) if n <= rem]
+        if fits:
+            rem, b = min(fits)
+            bins[b] = rem - n
+            members[b].append(d)
         else:
             bins.append(max(max_tokens - n, 0))
             members.append([d])
@@ -87,7 +89,7 @@ def _py_ffd(sizes: dict[int, int], max_tokens: int):
     }
 
 
-def test_packing_matches_python_ffd_on_random_sizes(spark):
+def test_packing_matches_python_bfd_on_random_sizes(spark):
     rng = random.Random(7)
     for trial in range(3):
         sizes = {d: rng.randint(1, 120) for d in range(40)}
@@ -98,7 +100,7 @@ def test_packing_matches_python_ffd_on_random_sizes(spark):
             r["doc_id"]: (int(r["seq_id"].split("-")[1]), r["pos"])
             for r in pack_sequences(df, max_tokens=cap, num_shards=1).collect()
         }
-        assert got == _py_ffd(sizes, cap), f"trial {trial} cap {cap}"
+        assert got == _py_bfd(sizes, cap), f"trial {trial} cap {cap}"
 
 
 def _py_substr_dup(docs: dict[int, str | None], w: int):

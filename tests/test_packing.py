@@ -45,8 +45,8 @@ def test_deterministic_across_input_partitionings(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
-def test_ffd_is_near_optimal_on_one_shard(spark):
-    # sizes summing to 120 with max 40 -> lower bound 3 bins; FFD finds 3
+def test_bfd_is_near_optimal_on_one_shard(spark):
+    # sizes summing to 120 with max 40 -> lower bound 3 bins; BFD finds 3
     df = _docs(spark, [25, 15, 20, 20, 30, 10])
     out = pack_sequences(df, max_tokens=40, num_shards=1).collect()
     assert len({r["seq_id"] for r in out}) == 3
@@ -59,7 +59,7 @@ def test_assemble_packed_orders_and_counts(spark):
     assert len(packed) == 1
     row = packed[0]
     assert row["n_docs"] == 3 and row["n_tokens"] == 6
-    # FFD order: largest doc first, then descending
+    # BFD order: largest doc first, then descending
     assert row["packed_text"] == "tk tk tk | tk tk | tk"
     # no Python hop in the assembly plan
     plan = (
@@ -83,3 +83,12 @@ def test_non_integral_id_rejected(spark):
     df = spark.createDataFrame([("u1", "tk tk")], "doc_id string, text string")
     with pytest.raises(ValueError, match="integral id"):
         pack_sequences(df, max_tokens=16)
+
+
+def test_null_text_packs_as_zero_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, "tk tk tk")], "doc_id long, text string"
+    )
+    out = pack_sequences(df, max_tokens=8, num_shards=1).collect()
+    got = {r["doc_id"]: r["n_tokens"] for r in out}
+    assert got == {0: 0, 1: 3}  # both docs assigned, null = 0 tokens
