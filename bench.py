@@ -120,6 +120,7 @@ def main() -> None:
         "dedup_embedding",
         "line_dedup",
         "lm_perplexity",
+        "substr_dedup",
     ]
     if not RUN_QUERIES:
         bench_queries = []
