@@ -149,16 +149,20 @@ def _q_line_dedup(spark, sf):
 
 
 def _q_lm_perplexity(spark, sf):
-    """CCNet-style LM quality scoring: bigram+add-one model trained on
-    the documents corpus, every doc scored under it."""
+    """CCNet-style LM quality scoring (bigram+add-one perplexity) AND
+    Brants et al. stupid-backoff trigram scoring, both trained on the
+    documents corpus — same per-doc grain, one registry entry."""
     docs = _t(spark, sf, "documents")
     model = lm.train_bigram_lm(docs)
     out = lm.score_perplexity(docs, model)
-    return out.select(
+    sbo = lm.score_stupid_backoff(docs, lm.train_backoff_lm(docs))
+    return out.join(sbo, "doc_id").select(
         "doc_id",
         "n_bigrams",
         F.round("avg_neg_logp", 6).alias("avg_neg_logp"),
         F.round("perplexity", 3).alias("perplexity"),
+        "n_trigrams",
+        F.round("avg_neg_logscore", 6).alias("sbo_neg_logscore"),
     )
 
 
@@ -1514,12 +1518,57 @@ def oracle_sql() -> dict[str, str]:
             agg AS (
               SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, AVG(nlp) AS a
               FROM rows_scored GROUP BY doc_id
+            ),
+            -- stupid-backoff trigram scoring (Brants et al.): raw
+            -- count tables, alpha=0.4 backoff, unseen-last-word floor
+            -- at pseudo-count 1
+            dtg AS (
+              SELECT doc_id, t.w1, t.w2, t.w3 FROM (
+                SELECT doc_id, unnest(list_transform(
+                  generate_series(1, len(t) - 2),
+                  i -> {{'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]}})) AS t
+                FROM toks WHERE len(t) >= 3
+              )
+            ),
+            c3t AS (SELECT w1, w2, w3, COUNT(*)::BIGINT AS c3 FROM dtg GROUP BY 1,2,3),
+            c2t AS (
+              SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+                     COUNT(*)::BIGINT AS c2
+              FROM dbg GROUP BY 1, 2
+            ),
+            c1t AS (
+              SELECT w, COUNT(*)::BIGINT AS c1 FROM (
+                SELECT unnest(t) AS w FROM toks
+              ) GROUP BY w
+            ),
+            ntok AS (SELECT COALESCE(SUM(c1), 0)::DOUBLE AS n FROM c1t),
+            sbo_rows AS (
+              SELECT d.doc_id,
+                -ln(CASE
+                  WHEN c3t.c3 IS NOT NULL THEN c3t.c3 / cp.c2::DOUBLE
+                  WHEN cb.c2 IS NOT NULL THEN 0.4 * cb.c2 / cm.c1::DOUBLE
+                  ELSE 0.16 * GREATEST(COALESCE(cl.c1, 0), 1) / ntok.n
+                END) AS nls
+              FROM dtg d
+              LEFT JOIN c3t ON c3t.w1 = d.w1 AND c3t.w2 = d.w2 AND c3t.w3 = d.w3
+              LEFT JOIN c2t cp ON cp.w1 = d.w1 AND cp.w2 = d.w2
+              LEFT JOIN c2t cb ON cb.w1 = d.w2 AND cb.w2 = d.w3
+              LEFT JOIN c1t cm ON cm.w = d.w2
+              LEFT JOIN c1t cl ON cl.w = d.w3
+              CROSS JOIN ntok
+            ),
+            sbo AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams, AVG(nls) AS s
+              FROM sbo_rows GROUP BY doc_id
             )
             SELECT ids.doc_id, COALESCE(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
                    round(agg.a, 6) AS avg_neg_logp,
-                   round(exp(agg.a), 3) AS perplexity
+                   round(exp(agg.a), 3) AS perplexity,
+                   COALESCE(sbo.n_trigrams, 0)::BIGINT AS n_trigrams,
+                   round(sbo.s, 6) AS sbo_neg_logscore
             FROM (SELECT DISTINCT doc_id FROM documents) ids
             LEFT JOIN agg USING (doc_id)
+            LEFT JOIN sbo USING (doc_id)
         """,
         "tfidf": f"""
             WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),

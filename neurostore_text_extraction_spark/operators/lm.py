@@ -160,3 +160,160 @@ def score_perplexity(
             F.exp(F.col("avg_neg_logp")).alias("perplexity"),
         )
     )
+
+
+def trigrams_col(text_col: str = "text"):
+    """Adjacent-token trigram (w1, w2, w3) structs via three aligned
+    slices zipped pairwise — linear, like :func:`bigrams_col`."""
+    toks = tokens_col(text_col)
+    n = F.size(toks) - 2
+    pairs = F.zip_with(
+        F.slice(toks, 1, n),
+        F.slice(toks, 2, n),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return F.when(F.size(toks) < 3, F.array().cast(
+        "array<struct<w1:string,w2:string,w3:string>>"
+    )).otherwise(
+        F.zip_with(
+            pairs,
+            F.slice(toks, 3, n),
+            lambda p, c: F.struct(
+                p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+            ),
+        )
+    )
+
+
+@dataclass
+class BackoffLM:
+    """Stupid-backoff n-gram model (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the web-scale LM):
+    raw count tables, no normalization at train time."""
+
+    trigram_counts: DataFrame  # (w1, w2, w3, c3)
+    bigram_counts: DataFrame  # (w1, w2, c2)
+    unigram_counts: DataFrame  # (w, c1)
+    n_tokens: int
+
+
+def train_backoff_lm(
+    corpus: DataFrame, text_col: str = "text", max_vocab: int | None = None
+) -> BackoffLM:
+    """One groupBy per order over the exploded corpus; ``max_vocab``
+    caps each table at the top-V rows by count (count desc / key asc —
+    deterministic). At CCNet/web scale the capped tables are the
+    MB-sized broadcast state; training is three shuffles over the
+    exploded corpus."""
+    toks = corpus.select(F.explode(tokens_col(text_col)).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("c1"))
+    n_tokens = int(
+        uni.agg(F.coalesce(F.sum("c1"), F.lit(0))).first()[0]
+    )
+    bg = (
+        corpus.select(F.explode(bigrams_col(text_col)).alias("bg"))
+        .select(
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
+    tg = (
+        corpus.select(F.explode(trigrams_col(text_col)).alias("t"))
+        .select("t.w1", "t.w2", "t.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").cast("long").alias("c3"))
+    )
+    if max_vocab is not None:
+        uni = uni.orderBy(F.col("c1").desc(), F.col("w").asc()).limit(max_vocab)
+        bg = bg.orderBy(
+            F.col("c2").desc(), F.col("w1").asc(), F.col("w2").asc()
+        ).limit(max_vocab)
+        tg = tg.orderBy(
+            F.col("c3").desc(), F.col("w1").asc(), F.col("w2").asc(), F.col("w3").asc()
+        ).limit(max_vocab)
+    return BackoffLM(
+        trigram_counts=tg.localCheckpoint(eager=True),
+        bigram_counts=bg.localCheckpoint(eager=True),
+        unigram_counts=uni.localCheckpoint(eager=True),
+        n_tokens=n_tokens,
+    )
+
+
+SBO_ALPHA = 0.4  # Brants et al.'s backoff factor
+
+
+def score_stupid_backoff(
+    docs: DataFrame,
+    lm: BackoffLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc mean negative log stupid-backoff score:
+
+        S(w3|w1,w2) = c3/c2(w1,w2)           if the trigram was seen
+                    | α·c2(w2,w3)/c1(w2)     else if that bigram was
+                    | α²·max(c1(w3),1)/N     else (unseen w3 floors at
+                                              pseudo-count 1 — SBO's
+                                              score 0 has no log)
+
+    (id, n_trigrams, avg_neg_logscore). Docs with <3 tokens → 0
+    trigrams, NULL score. All four count lookups are broadcast joins
+    (the capped tables are the model); the only corpus shuffle is the
+    final per-doc mean. Same unique-id contract as
+    :func:`score_perplexity`."""
+    n = float(max(lm.n_tokens, 1))
+    doc_tg = docs.select(
+        F.col(id_col), F.explode(trigrams_col(text_col)).alias("t")
+    ).select(id_col, "t.w1", "t.w2", "t.w3")
+    tg = lm.trigram_counts
+    bg_pre = lm.bigram_counts.select(
+        F.col("w1"), F.col("w2"), F.col("c2").alias("_c2_prefix")
+    )
+    bg_back = lm.bigram_counts.select(
+        F.col("w1").alias("w2"),
+        F.col("w2").alias("w3"),
+        F.col("c2").alias("_c2_back"),
+    )
+    uni_mid = lm.unigram_counts.select(
+        F.col("w").alias("w2"), F.col("c1").alias("_c1_mid")
+    )
+    uni_last = lm.unigram_counts.select(
+        F.col("w").alias("w3"), F.col("c1").alias("_c1_last")
+    )
+    joined = (
+        doc_tg.join(F.broadcast(tg), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(bg_pre), ["w1", "w2"], "left")
+        .join(F.broadcast(bg_back), ["w2", "w3"], "left")
+        .join(F.broadcast(uni_mid), ["w2"], "left")
+        .join(F.broadcast(uni_last), ["w3"], "left")
+    )
+    score = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3") / F.col("_c2_prefix"),
+        )
+        .when(
+            F.col("_c2_back").isNotNull(),
+            F.lit(SBO_ALPHA) * F.col("_c2_back") / F.col("_c1_mid"),
+        )
+        .otherwise(
+            F.lit(SBO_ALPHA * SBO_ALPHA)
+            * F.greatest(F.coalesce(F.col("_c1_last"), F.lit(0)), F.lit(1))
+            / F.lit(n)
+        )
+    )
+    scored = (
+        joined.select(F.col(id_col), (-F.log(score)).alias("nls"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.avg("nls").alias("avg_neg_logscore"),
+        )
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("long").alias("n_trigrams"),
+        F.col("avg_neg_logscore"),
+    )

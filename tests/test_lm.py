@@ -81,3 +81,57 @@ def test_scoring_plan_broadcasts_counts(spark, model):
     )
     assert "LeftOuter" in plan  # back-off joins are left outer...
     assert plan.count("broadcast") >= 2  # ...and both count tables broadcast
+
+
+@pytest.fixture(scope="module")
+def sbo_model(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran to the mat")],
+        "doc_id int, text string",
+    )
+    return lm.train_backoff_lm(corpus)
+
+
+def test_backoff_counts(sbo_model):
+    assert sbo_model.n_tokens == 12
+    c3 = {
+        (r["w1"], r["w2"], r["w3"]): r["c3"]
+        for r in sbo_model.trigram_counts.collect()
+    }
+    assert c3[("the", "cat", "sat")] == 1 and c3[("the", "cat", "ran")] == 1
+
+
+def test_stupid_backoff_three_tiers(spark, sbo_model):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),   # seen trigram: c3/c2(the,cat) = 1/2
+            (2, "on cat sat"),    # unseen trigram, seen bigram (cat,sat):
+                                  # 0.4 * c2(cat,sat)/c1(cat) = 0.4*1/2
+            (3, "on on mat"),     # unseen both: 0.16*c1(mat)/N = 0.16*2/12
+            (4, "on on zz"),      # unseen last word: 0.16*1/12 floor
+            (5, "two words"),     # <3 tokens -> no trigram
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in lm.score_stupid_backoff(docs, sbo_model).collect()
+    }
+    assert got[1]["avg_neg_logscore"] == pytest.approx(-math.log(1 / 2))
+    assert got[2]["avg_neg_logscore"] == pytest.approx(-math.log(0.4 * 1 / 2))
+    assert got[3]["avg_neg_logscore"] == pytest.approx(-math.log(0.16 * 2 / 12))
+    assert got[4]["avg_neg_logscore"] == pytest.approx(-math.log(0.16 * 1 / 12))
+    assert got[5]["n_trigrams"] == 0 and got[5]["avg_neg_logscore"] is None
+
+
+def test_backoff_scoring_plan_broadcasts_all_tables(spark, sbo_model):
+    docs = spark.createDataFrame([(1, "the cat sat")], "doc_id int, text string")
+    plan = (
+        lm.score_stupid_backoff(docs, sbo_model)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("broadcast") >= 5  # trigram, 2x bigram, 2x unigram
