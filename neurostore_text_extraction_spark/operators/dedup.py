@@ -97,10 +97,30 @@ def _drop_over_cap_keys(df: DataFrame, key_cols: list[str], cap: int) -> DataFra
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    """Eagerly compute a (small) result frame and truncate its lineage
-    so upstream persisted inputs can be unpersisted immediately — the
-    pattern connected_components uses for its edge frame."""
+    """Eagerly compute a result frame and truncate its lineage so
+    upstream persisted inputs can be unpersisted immediately — the
+    pattern connected_components uses for its edge frame.
+
+    CONTRACT: localCheckpoint blocks are UNREPLICATED and the lineage
+    is gone — a lost executor makes the frame unrecoverable. Only
+    frames that are provably small relative to the corpus (candidate
+    PAIR frames, per-round edge frames, reports) may pass through
+    here. Corpus-cardinality frames (one row per input doc) must use
+    :func:`_materialize_recoverable` instead."""
     return df.localCheckpoint(eager=True)
+
+
+def _materialize_recoverable(df: DataFrame) -> DataFrame:
+    """Eagerly compute a CORPUS-SIZED result frame while keeping its
+    lineage: persist (MEMORY_AND_DISK) + count. Lost blocks recompute
+    from source — even after upstream persisted inputs are unpersisted
+    (the lineage re-derives them), so a single lost executor at
+    10^5-task scale degrades to recompute instead of killing the job.
+    The storage footprint equals localCheckpoint's; cleanup follows
+    the same ContextCleaner GC lifecycle once the frame is dropped."""
+    df = df.persist()
+    df.count()
+    return df
 
 
 def exact_duplicates(
@@ -170,7 +190,7 @@ def minhash_lsh_pairs(
     band_size: int = LSH_BAND_SIZE,
     shingle_words: int = 3,
     bucket_cap: int = LSH_BUCKET_CAP,
-    eager: bool = True,
+    eager: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band, with the
     minhash-estimated jaccard (fraction of equal signature slots).
@@ -184,17 +204,25 @@ def minhash_lsh_pairs(
     signatures are re-joined per *pair*, not per band row, so the 32×
     band explosion never multiplies the 128-slot payload.
 
-    ``eager=True`` (default) persists the signature frame for the
-    duration of the call, materializes the (small) pair result, and
-    unpersists before returning — repeated calls in a long-lived
-    session leak no executor storage. ``eager=False`` returns the
-    fully lazy plan (signature tree recomputed per consumer; useful
-    for plan inspection/composition)."""
+    ``eager=False`` (default) returns the fully lazy plan. The
+    signature subtree is consumed ~5x in the plan (band count, band
+    rows, twice in the per-pair sig re-join), but Spark's
+    ReuseExchange dedupes the identical signature shuffle within one
+    physical plan, so a single action computes it ONCE — measured
+    equal to the eager path on min wall time (6.15s vs 6.10s at
+    local[32], sf0.1) and far more stable: the eager
+    persist→localCheckpoint→unpersist cycle showed intermittent 3-8x
+    stalls at 32 cores (5.6→9.8→15.2s across reps in one JVM; worst
+    44s) that the lazy plan never exhibits (5.1-5.4s flat) — the r3
+    driver-bench anti-scaling isolated to this cycle
+    (``BENCH/AB_MINHASH.md``). ``eager=True`` persists the signature
+    frame, materializes the (small) pair result and unpersists before
+    returning — use it only for MULTI-ACTION consumers that re-read
+    the pair frame repeatedly without materializing it themselves
+    (``connected_components_star`` localCheckpoints its edge frame up
+    front, so it does NOT need an eager input)."""
     sig = minhash_signatures(df, id_col, text_col, k, shingle_words)
     if eager:
-        # persist: consumed by the band explode (twice: count + rows)
-        # AND twice by the per-pair signature re-join; without it the
-        # shingle->minhash tree runs 5x.
         sig = sig.persist()
     n_bands = k // band_size
     bands = sig.select(
@@ -434,7 +462,14 @@ def simhash_pairs(
     least one identical block, so candidates come from an equi-join on
     (block_idx, block_value) instead of an all-pairs scan. Exact
     Hamming distance (bit_count of xor) re-ranks candidates.
-    Requires max_hamming < n_blocks for zero false negatives."""
+    Requires max_hamming < n_blocks for zero false negatives.
+
+    ``eager=True`` stays the default here: unlike the fat minhash
+    signature frame, the persisted block frame is 4 narrow int rows
+    per doc, and the A/B (local[32] sf0.1, 5 reps each,
+    ``BENCH/AB_MINHASH.md``) measured eager steadily FASTER
+    (1.8-2.4s vs 2.8-3.3s lazy) with none of the minhash-style
+    stalls."""
     sig = simhash(df, id_col, text_col, n_bits)
     block_bits = n_bits // n_blocks
     mask = (1 << block_bits) - 1
@@ -486,7 +521,7 @@ def ngram_jaccard_pairs(
     shingle_words: int = 3,
     threshold: float = 0.5,
     max_df: int = NGRAM_MAX_DF,
-    eager: bool = True,
+    eager: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over distinct k-word shingles for every pair
     sharing at least one shingle; |A∪B| = |A|+|B|-|A∩B|.
@@ -497,14 +532,18 @@ def ngram_jaccard_pairs(
     by 10^6 docs would otherwise contribute 10^12 join rows. The df
     cap is :func:`_drop_over_cap_keys` — groupBy-count + broadcast
     anti-join, so the boilerplate shingle's rows never collapse into
-    one window task."""
+    one window task.
+
+    ``eager=False`` (default): the distinct-shingle shuffle is
+    deduped by ReuseExchange across its four consumers within one
+    action — measured faster AND steadier than the eager
+    persist/localCheckpoint cycle (min 2.62s vs 3.20s, local[32]
+    sf0.1, 5 reps; ``BENCH/AB_MINHASH.md``). ``eager=True`` persists
+    the shingle frame for multi-action reuse."""
     sh_all = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, shingle_words)).alias("sh")
     ).distinct()
     if eager:
-        # consumed four times (cap count, self-join sides, sizes):
-        # cache the small (id, shingle) frame instead of recomputing
-        # the tokenize tree
         sh_all = sh_all.persist()
     sh = _drop_over_cap_keys(sh_all, ["sh"], max_df)
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n_sh"))
@@ -584,11 +623,13 @@ def substr_dup_stats(
     )
     if eager:
         # win feeds both the occurrence count and the dup join — two
-        # full tokenize+explode passes without it. The cached frame is
-        # (id, long): 16 bytes/window, the cheapest representation the
-        # operator ever holds. Same persist→materialize→unpersist
-        # contract as minhash_lsh_pairs; eager=False returns the fully
-        # lazy (twice-evaluated) plan for inspection/composition.
+        # full tokenize+explode passes without it (ReuseExchange does
+        # NOT cover this shape: the two consumers shuffle win on
+        # different keys, so there is no common exchange to reuse —
+        # measured 2x: lazy 6.5-7.2s vs eager 3.0-3.7s at local[32]
+        # sf0.1, BENCH/AB_MINHASH.md). The cached frame is (id, long):
+        # 16 bytes/window, the cheapest representation the operator
+        # ever holds.
         win = win.persist()
     counts = win.groupBy("h").agg(F.count("*").alias("_n"))
     joined = win.join(counts, "h")
@@ -608,6 +649,10 @@ def substr_dup_stats(
         )
     )
     if eager:
-        result = _materialize(result)
+        # the result is CORPUS-sized (one row per doc): recoverable
+        # materialization (persist+count, lineage kept), never
+        # localCheckpoint — a lost executor recomputes instead of
+        # killing the job (VERDICT r3 "What's wrong #2").
+        result = _materialize_recoverable(result)
         win.unpersist()
     return result

@@ -289,13 +289,20 @@ def score_stupid_backoff(
         .join(F.broadcast(uni_mid), ["w2"], "left")
         .join(F.broadcast(uni_last), ["w3"], "left")
     )
+    # Each level is gated on its DENOMINATOR too: with max_vocab the
+    # tables are capped independently, so a kept trigram's prefix
+    # bigram (or a kept backoff bigram's w2 unigram) may be absent —
+    # ungated, c3/_c2_prefix would be NULL and F.avg would silently
+    # skip the trigram while n_trigrams still counts it (biased mean).
+    # Gated, the inconsistent lookup falls through to the next backoff
+    # level and the score is total (never NULL).
     score = (
         F.when(
-            F.col("c3").isNotNull(),
+            F.col("c3").isNotNull() & F.col("_c2_prefix").isNotNull(),
             F.col("c3") / F.col("_c2_prefix"),
         )
         .when(
-            F.col("_c2_back").isNotNull(),
+            F.col("_c2_back").isNotNull() & F.col("_c1_mid").isNotNull(),
             F.lit(SBO_ALPHA) * F.col("_c2_back") / F.col("_c1_mid"),
         )
         .otherwise(

@@ -78,7 +78,14 @@ def _bfd_pack(max_tokens: int):
                 # no bin fits (incl. oversize docs > max_tokens)
                 idx = len(members)
                 members.append([(int(doc_id), n)])
-                bisect.insort(open_bins, (max(max_tokens - n, 0), idx))
+                if n <= max_tokens:
+                    bisect.insort(open_bins, (max_tokens - n, idx))
+                # an OVERSIZE bin is closed immediately: clamping its
+                # remaining to 0 would let a later 0-token doc (NULL/
+                # empty text) bisect into it, producing a multi-doc
+                # oversize sequence — violating the contract that only
+                # single-doc sequences may exceed max_tokens (callers
+                # truncate keyed on n_docs==1). ADVICE r3 fix.
         rows = []
         for b, docs in enumerate(members):
             for pos, (doc_id, n) in enumerate(docs):

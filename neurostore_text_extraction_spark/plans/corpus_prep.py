@@ -29,8 +29,17 @@ with their FIRST failing stage across three plan groups:
 
 The report is then a single groupBy(drop_reason).count() and the
 cleaned corpus a single ``where(drop_reason IS NULL)`` — both off the
-same plan, so Spark runs the signal computation once (the tagged
-frame is localCheckpointed when ``eager=True``).
+same plan, so Spark runs the signal computation once.
+
+Materialization contract (``eager=True``): the three stage frames
+(``filtered``, ``pre``, ``tagged``) are CORPUS-cardinality — one row
+per input doc — so they are materialized RECOVERABLY
+(persist+count, lineage kept: a lost executor recomputes the lost
+blocks from source) rather than via ``localCheckpoint``, whose
+unreplicated lineage-free blocks would make a single executor loss
+fatal at 10^5-task scale. Small pair/edge frames inside the dedup
+operators keep their localCheckpoint fast path (see
+``operators/dedup._materialize``).
 """
 
 from __future__ import annotations
@@ -116,8 +125,9 @@ def prepare_training_corpus(
         )
     filtered = filtered.withColumn("drop_reason", reason)
     if eager:
-        # consumed by both dedup operators and the final tagging
-        filtered = filtered.localCheckpoint(eager=True)
+        # consumed by both dedup operators and the final tagging;
+        # corpus-sized -> recoverable materialization (module contract)
+        filtered = dedup._materialize_recoverable(filtered)
 
     # --- stage group 2: doc-level dedup over the FILTER SURVIVORS.
     # Dedup's contract is "keep one representative per duplicate
@@ -135,8 +145,12 @@ def prepare_training_corpus(
         .select(F.col("representative").alias(id_col), F.lit(True).alias("_exact_keep"))
     )
     # near-dup: minhash pairs above threshold → clusters → min-id kept
+    # pairs stay LAZY regardless of ``eager``: connected_components_star
+    # localCheckpoints its edge frame up front, so the minhash tree runs
+    # once either way, and the lazy plan avoids the eager cycle's
+    # measured 3-8x stalls at high core counts (BENCH/AB_MINHASH.md)
     pairs = dedup.minhash_lsh_pairs(
-        filter_ok, id_col, text_col, eager=eager
+        filter_ok, id_col, text_col, eager=False
     ).where(F.col("est_jaccard") >= minhash_threshold)
     clusters = dedup.connected_components_star(pairs)  # (doc_id, cluster_id)
     near_drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
@@ -158,8 +172,9 @@ def prepare_training_corpus(
     )
     if eager:
         # the survivor frame feeds three downstream operators (substr
-        # stats, line dedup, final tagging) — compute the plan once
-        pre = pre.localCheckpoint(eager=True)
+        # stats, line dedup, final tagging) — compute the plan once;
+        # corpus-sized -> recoverable materialization (module contract)
+        pre = dedup._materialize_recoverable(pre)
 
     # --- stage group 3: span/line-level signals over the dedup
     # SURVIVORS only. Computing them over the full corpus would let
@@ -199,8 +214,9 @@ def prepare_training_corpus(
         )
     )
     if eager:
-        # one computation of the wide signal plan serves both outputs
-        tagged = tagged.localCheckpoint(eager=True)
+        # one computation of the wide signal plan serves both outputs;
+        # corpus-sized -> recoverable materialization (module contract)
+        tagged = dedup._materialize_recoverable(tagged)
     clean = tagged.where(F.col("drop_reason").isNull())
     report = (
         tagged.groupBy(

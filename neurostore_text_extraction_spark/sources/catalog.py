@@ -76,6 +76,40 @@ class Catalog:
         ]
         return max(seqs) + 1 if seqs else 0
 
+    def _spec_path(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "_partition_spec.json")
+
+    def _check_partition_spec(
+        self, table: str, partition_by: list[str] | None
+    ) -> None:
+        """Enforce one partition layout per table lifetime (Iceberg's
+        partition-spec analogue). The first append RECORDS the spec in
+        a per-table metadata file; later appends/compacts with a
+        different layout raise instead of committing a mixed-layout
+        table — which Spark's multi-path partition discovery would
+        reject (or silently drop the partition column from) only at
+        READ time, long after the bad snapshot landed (ADVICE r3)."""
+        import json
+
+        spec = list(partition_by) if partition_by else []
+        path = self._spec_path(table)
+        if os.path.exists(path):
+            with open(path) as f:
+                recorded = json.load(f)["partition_by"]
+            if recorded != spec:
+                raise ValueError(
+                    f"table {table!r} was created with partition_by="
+                    f"{recorded}; appending with {spec} would mix "
+                    "snapshot layouts. Use the recorded layout, or "
+                    "compact into a NEW table to change it."
+                )
+        else:
+            os.makedirs(self._table_dir(table), exist_ok=True)
+            tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump({"partition_by": spec}, f)
+            os.rename(tmp, path)
+
     def append(
         self, df: DataFrame, table: str, partition_by: list[str] | None = None
     ) -> str:
@@ -84,9 +118,12 @@ class Catalog:
         ``partition_by`` writes the snapshot hive-partitioned on the
         given columns (north rule: results partitioned on a url-hash
         bucket) — readers filtering on a partition column prune whole
-        directories at planning time. Use the SAME layout for every
-        snapshot of a table: Spark's multi-path partition discovery
-        requires consistent directory shapes."""
+        directories at planning time. The layout is recorded on first
+        append and VALIDATED on every later append/compact
+        (:meth:`_check_partition_spec`): Spark's multi-path partition
+        discovery requires consistent directory shapes, so a mixed
+        layout must fail at write time, not read time."""
+        self._check_partition_spec(table, partition_by)
         tmp = os.path.join(self.root, ".tmp", uuid.uuid4().hex)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -208,7 +245,15 @@ class Catalog:
             .drop("_rn", "_snap_seq")
         )
         # partitioned tables stay partitioned through compaction — a
-        # mixed layout would break multi-path partition discovery
+        # mixed layout would break multi-path partition discovery.
+        # partition_by=None INHERITS the table's recorded spec (the
+        # common case); an explicit non-matching spec is rejected by
+        # append's _check_partition_spec.
+        if partition_by is None and os.path.exists(self._spec_path(table)):
+            import json
+
+            with open(self._spec_path(table)) as f:
+                partition_by = json.load(f)["partition_by"] or None
         dest = self.append(latest, table, partition_by=partition_by)
         for s in snaps:
             shutil.rmtree(s, ignore_errors=True)

@@ -3,6 +3,7 @@ entity linking (U7), demographics cleanup (F13/U8), metrics (F14),
 multimodal plumbing, streaming ingest."""
 
 import pandas as pd
+import pytest
 import pyspark.sql.functions as F
 
 from neurostore_text_extraction_spark.functions import metrics as M
@@ -294,6 +295,11 @@ def test_embedding_neardup_pairs(spark):
         embedding_neardup_pairs,
     )
 
+    # earlier tests may leave recoverable-persist entries (the
+    # documented _materialize_recoverable contract) in the shared
+    # session's CacheManager — this test asserts only about ITS OWN
+    # intermediates, so start from a clean cache
+    spark.catalog.clearCache()
     dim = 8
     base = [1.0] + [0.0] * (dim - 1)
     near = [1.0, 0.05] + [0.0] * (dim - 2)
@@ -414,3 +420,102 @@ def test_ivf_partitioned_store_prunes_at_scan(spark, tmp_path):
         if m
     }
     assert len(probed) == 1
+
+
+def test_ivf_join_path_equals_literal_path(spark):
+    """The large-k broadcast-centroid-join path (VERDICT r3 #3) must
+    produce IDENTICAL assignments and search results to the literal
+    path — same distances, same lowest-id tie-break."""
+    import math
+    import random
+
+    from neurostore_text_extraction_spark.operators import similarity
+
+    rng = random.Random(11)
+    dim = 8
+    rows = []
+    for c in range(4):
+        center = [1.0 if i == c * 2 else 0.0 for i in range(dim)]
+        for j in range(15):
+            v = [x + rng.uniform(-0.1, 0.1) for x in center]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((c * 100 + j, [x / n for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    a_lit, c_lit = similarity.ivf_build(
+        vecs, dim=dim, n_centroids=4, n_iters=2, method="literal"
+    )
+    a_join, c_join = similarity.ivf_build(
+        vecs, dim=dim, n_centroids=4, n_iters=2, method="join"
+    )
+    # centroid trajectories agree to float-sum-order noise (F.avg's
+    # accumulation order across tasks is nondeterministic at ulp level
+    # for EITHER method — the methods are algebraically identical)
+    for cl, cj in zip(c_lit, c_join):
+        assert cl == pytest.approx(cj, rel=1e-9, abs=1e-12)
+    lit_map = {r["vec_id"]: r["_list"] for r in a_lit.collect()}
+    join_map = {r["vec_id"]: r["_list"] for r in a_join.collect()}
+    assert lit_map == join_map
+
+    queries = vecs.where("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t_lit = similarity.ivf_topk(
+        a_lit, c_lit, queries, k=3, nprobe=2, method="literal"
+    ).collect()
+    t_join = similarity.ivf_topk(
+        a_lit, c_lit, queries, k=3, nprobe=2, method="join"
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        [(r["query_id"], r["rank"], r["vec_id"]) for r in t_lit]
+    ) == sorted([(r["query_id"], r["rank"], r["vec_id"]) for r in t_join])
+
+
+def test_ivf_join_path_plan_stays_small_at_large_k(spark):
+    """At k=1024 the literal path would unroll ~k*dim literal nodes;
+    the join path's plan must stay O(1) in k (the centroids are data,
+    not plan). Asserted on the optimized-plan string size, and that
+    'auto' selects the join path above the threshold."""
+    from neurostore_text_extraction_spark.operators import similarity
+
+    dim = 64
+    assert not similarity._use_literal_path("auto", 1024, dim)
+    vecs = spark.createDataFrame(
+        [(1, [0.1] * dim)], "vec_id long, embedding array<double>"
+    )
+    centroids = [[float(i % 7) / 7.0] * dim for i in range(1024)]
+    assigned = similarity._assign_via_join(vecs, centroids, "embedding")
+    plan = assigned._jdf.queryExecution().optimizedPlan().toString()
+    # a literal unroll at k=1024,dim=64 would be ~65k nodes and MBs of
+    # plan text; the join plan is a few KB regardless of k
+    assert len(plan) < 50_000, f"plan unexpectedly large: {len(plan)} chars"
+    queries = spark.createDataFrame(
+        [(9, [0.1] * dim)], "query_id long, embedding array<double>"
+    )
+    topk = similarity.ivf_topk(
+        assigned, centroids, queries, k=1, nprobe=2, method="join"
+    )
+    qplan = topk._jdf.queryExecution().optimizedPlan().toString()
+    assert len(qplan) < 100_000, f"query plan unexpectedly large: {len(qplan)}"
+
+
+def test_ivf_indexed_empty_store_returns_empty(spark, tmp_path):
+    """partitionBy over an EMPTY assigned frame writes no files;
+    ivf_topk_indexed must return an empty result frame, not raise
+    'unable to infer schema' (ADVICE r3)."""
+    from neurostore_text_extraction_spark.operators import similarity
+
+    dim = 4
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, _list int"
+    )
+    path = str(tmp_path / "ivf_empty")
+    similarity.ivf_write(empty, path)
+    cents = [[0.0] * dim, [1.0] * dim]
+    queries = spark.createDataFrame(
+        [(1, [0.5] * dim)], "query_id long, embedding array<double>"
+    )
+    got = similarity.ivf_topk_indexed(spark, path, cents, queries, k=3, nprobe=1)
+    assert got.count() == 0
+    assert set(got.columns) == {"query_id", "vec_id", "cosine", "rank"}

@@ -135,3 +135,42 @@ def test_backoff_scoring_plan_broadcasts_all_tables(spark, sbo_model):
         .toString()
     )
     assert plan.count("broadcast") >= 5  # trigram, 2x bigram, 2x unigram
+
+
+def test_capped_tables_inconsistent_lookup_falls_through(spark):
+    """max_vocab caps each order's table independently, so a kept
+    trigram's prefix bigram (or a kept backoff bigram's w2 unigram)
+    may be absent. The score must fall through to the next backoff
+    level, never go NULL (which would silently bias F.avg while
+    n_trigrams still counts the row) — ADVICE r3 regression."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    # trigram (a b c) kept, but its prefix bigram (a,b) capped out;
+    # backoff bigram (b,c) kept but its w2 unigram capped out too ->
+    # must land on the unigram floor tier, not NULL.
+    tg = spark.createDataFrame(
+        [("aa", "bb", "cc", 5)], "w1 string, w2 string, w3 string, c3 long"
+    )
+    bg = spark.createDataFrame([("bb", "cc", 3)], "w1 string, w2 string, c2 long")
+    uni = spark.createDataFrame([("cc", 4)], "w string, c1 long")
+    model = lm.BackoffLM(
+        trigram_counts=tg, bigram_counts=bg, unigram_counts=uni, n_tokens=100
+    )
+    docs = spark.createDataFrame([(1, "aa bb cc")], "doc_id int, text string")
+    row = lm.score_stupid_backoff(docs, model).collect()[0]
+    assert row["n_trigrams"] == 1
+    # floor tier: alpha^2 * c1(c)/N = 0.16 * 4/100
+    assert row["avg_neg_logscore"] == pytest.approx(-math.log(0.16 * 4 / 100))
+
+    # and when only the w2-unigram is missing but the prefix bigram
+    # exists, level 1 still applies
+    bg2 = spark.createDataFrame(
+        [("aa", "bb", 10), ("bb", "cc", 3)], "w1 string, w2 string, c2 long"
+    )
+    model2 = lm.BackoffLM(
+        trigram_counts=tg, bigram_counts=bg2, unigram_counts=uni, n_tokens=100
+    )
+    row2 = lm.score_stupid_backoff(docs, model2).collect()[0]
+    assert row2["avg_neg_logscore"] == pytest.approx(-math.log(5 / 10))

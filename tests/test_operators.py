@@ -157,24 +157,28 @@ def test_dedup_caps_have_no_window_node(spark):
 
 
 def test_dedup_eager_unpersists_intermediates(spark):
-    """eager=True (default) must not leak the big intermediate persists
-    (signatures / shingle frames) into the CacheManager across calls
-    (ADVICE: persist-leak in long-lived sessions). The only cached
-    entry each call may add is the tiny localCheckpoint'd RESULT RDD,
-    which the ContextCleaner frees when the returned DataFrame is
-    garbage-collected — unlike DataFrame.persist() entries, which stay
-    in the CacheManager until explicit unpersist."""
+    """Eager paths must not leak the big INTERMEDIATE persists
+    (signatures / shingle / window frames) into the CacheManager
+    across calls (ADVICE: persist-leak in long-lived sessions).
+    Allowed residue per call: small-result localCheckpoint RDDs
+    (freed by the ContextCleaner on GC) and — for substr_dup_stats
+    only — the recoverable persist of its corpus-sized RESULT, which
+    the caller owns and may unpersist."""
     spark.catalog.clearCache()
     df = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta"])
     before = len(spark.sparkContext._jsc.getPersistentRDDs())
-    dedup.minhash_lsh_pairs(df).collect()
-    dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    dedup.minhash_lsh_pairs(df, eager=True).collect()
+    dedup.ngram_jaccard_pairs(df, threshold=0.0, eager=True).collect()
     dedup.simhash_pairs(df).collect()
-    dedup.substr_dup_stats(df, window_tokens=3).collect()
+    ss = dedup.substr_dup_stats(df, window_tokens=3)
+    ss.collect()
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
-    # 4 calls -> at most 4 result-checkpoint RDDs, no intermediates
+    # 4 calls -> at most 4 result RDDs, no intermediates
     assert after - before <= 4
-    # and nothing remains registered in the session CacheManager
+    # the only CacheManager entry is substr's recoverable result
+    # persist (lineage kept — VERDICT r3 #2); once the caller releases
+    # it the cache is empty again
+    ss.unpersist()
     jcm = spark._jsparkSession.sharedState().cacheManager()
     assert jcm.isEmpty()
 

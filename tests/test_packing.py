@@ -92,3 +92,28 @@ def test_null_text_packs_as_zero_tokens(spark):
     out = pack_sequences(df, max_tokens=8, num_shards=1).collect()
     got = {r["doc_id"]: r["n_tokens"] for r in out}
     assert got == {0: 0, 1: 3}  # both docs assigned, null = 0 tokens
+
+
+def test_zero_token_doc_never_reopens_oversize_bin(spark):
+    """A 0-token doc (NULL/empty text) must not join an oversize
+    single-doc bin: the invariant is that ONLY single-doc sequences
+    may exceed max_tokens — ADVICE r3 regression."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "word " * 50),  # 50 tokens, oversize vs max_tokens=10
+            (2, None),          # 0 tokens
+            (3, ""),            # 0 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, max_tokens=10, num_shards=1).collect()
+    assert {r["doc_id"] for r in out} == {1, 2, 3}  # completeness
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    for seq, rows in by_seq.items():
+        total = sum(r["n_tokens"] for r in rows)
+        if total > 10:
+            assert len(rows) == 1, f"multi-doc oversize sequence {seq}: {rows}"

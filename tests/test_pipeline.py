@@ -438,3 +438,38 @@ def test_schema_evolution_add_column(spark, tmp_path):
     after = cat.read(spark, "t")
     assert set(after.columns) == {"k", "v", "score"}
     assert after.count() == 2
+
+
+def test_catalog_partition_spec_recorded_and_enforced(spark, tmp_path):
+    """The first append records the table's partition layout; later
+    appends with a different layout fail at WRITE time instead of
+    producing a mixed-snapshot table that only breaks at read time
+    (ADVICE r3). Compaction inherits the recorded spec by default."""
+    import pytest as _pytest
+
+    cat = Catalog(str(tmp_path / "cat"))
+    df = spark.createDataFrame(
+        [(1, 0, "a"), (2, 1, "b")], "id long, bucket int, v string"
+    )
+    cat.append(df, "t", partition_by=["bucket"])
+    # same layout: fine
+    cat.append(df, "t", partition_by=["bucket"])
+    # different layout: rejected
+    with _pytest.raises(ValueError, match="partition_by"):
+        cat.append(df, "t")
+    with _pytest.raises(ValueError, match="partition_by"):
+        cat.append(df, "t", partition_by=["v"])
+    # compact with no explicit layout inherits the recorded one
+    cat.compact(spark, "t", key_cols=["id"])
+    snaps = cat.snapshots("t")
+    assert len(snaps) == 1
+    import os as _os
+
+    assert any(d.startswith("bucket=") for d in _os.listdir(snaps[0]))
+    # and reads still see the partition column
+    got = cat.read(spark, "t")
+    assert "bucket" in got.columns and got.count() == 2
+    # unpartitioned tables record the empty spec and reject partitioning
+    cat.append(df, "u")
+    with _pytest.raises(ValueError, match="partition_by"):
+        cat.append(df, "u", partition_by=["bucket"])
