@@ -27,6 +27,7 @@ single-node run at any parallelism (the byte-identical-per-url contract).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
@@ -174,6 +175,8 @@ class _Node:
     # memoized class/id prior (computed at most once per node — profiled
     # as a top-3 hot spot when recomputed per block per ancestor)
     _hint: int | None = None
+    # memoized reference-hint flag (see _has_ref_ancestor)
+    _refh: bool | None = None
 
     @property
     def hint_text(self) -> str:
@@ -334,6 +337,55 @@ def _stopword_density(words: list[str], stopwords: frozenset) -> float:
     return hits / len(sample)
 
 
+# Bibliography keep-rule (X2 refinement, round 4): scholarly reference
+# lists are link farms by structure (every entry carries DOI / Scopus /
+# Google Scholar anchors → link density > 0.33) and their containers
+# hint 'reference'/'citation', so BOTH the boilerplate classifier and
+# the readability candidate drop them — but for scholarly articles the
+# bibliography IS content (the reference's ACE fixtures keep it:
+# processed/ace/text.txt retains the full reference list, measured
+# ~28% of the expected tokens). A block is reference-like only with
+# BOTH signals: a reference-hinting ancestor AND citation-shaped text
+# (year / doi / et-al), so nav bars whose class merely says
+# 'citation' still drop.
+_REF_HINTS = ("reference", "bibliograph", "citation", "ref-list", "reflist")
+_CITE_RE = re.compile(r"\b(?:19|20)\d{2}\b|\bdoi\b|\bet al\b", re.I)
+
+
+def _has_ref_ancestor(b: _Block) -> bool:
+    for a in b.ancestors[-4:]:
+        h = a._refh
+        if h is None:
+            h = any(x in a.hint_text for x in _REF_HINTS)
+            a._refh = h
+        if h:
+            return True
+    return False
+
+
+def _reference_keep_pred(blocks: list) -> "callable":
+    """Page-level bibliography detection: if >= 3 blocks under
+    reference-hinting ancestors carry citation-shaped text (year /
+    doi / et-al), the hinted region is a genuine bibliography and ALL
+    its blocks are kept (entry labels, 'Google Scholar'/'View in
+    Scopus' link rows included — the ACE fixtures keep them).
+    Otherwise only individually citation-shaped blocks survive, so a
+    nav bar whose class merely says 'citation' still drops."""
+    evidence = sum(
+        1
+        for b in blocks
+        if _has_ref_ancestor(b) and (b.heading or _CITE_RE.search(b.text))
+    )
+    bibliography = evidence >= 3
+
+    def is_ref(b: _Block) -> bool:
+        return _has_ref_ancestor(b) and (
+            bibliography or b.heading or _CITE_RE.search(b.text) is not None
+        )
+
+    return is_ref
+
+
 def _classify_boilerplate(b: _Block, stopwords: frozenset) -> bool:
     """X2: True = boilerplate (drop). Boilerpipe-style thresholds on
     link density / word count / class-id priors."""
@@ -479,17 +531,33 @@ def extract_html(
         kept = [b for b in blocks if b.n_chars > 0]
     else:
         blocks = _collect_blocks(parser.root)
+        is_ref = _reference_keep_pred(blocks)
+        # candidate scoring sees ONLY organic content: reference
+        # blocks are excluded so a dense bibliography cannot outscore
+        # the article body and flip the winning subtree (it did, when
+        # refs entered `content` — the ScienceDirect fixture's body
+        # halved). They rejoin at the keep stage below.
         content = [b for b in blocks if not _classify_boilerplate(b, stopwords)]
         candidate = _score_candidates(content, stopwords)
+        organic = {id(b) for b in content}
         if candidate is not None:
             keep = _keep_set(candidate)
-            kept = [b for b in content if _is_descendant(b.ancestors, keep)]
+            # reference blocks survive candidate selection too: the
+            # bibliography usually lives OUTSIDE the main-text subtree
+            # (its link-heavy blocks earn no readability points), yet
+            # is content for scholarly pages — ACE parity keeps it
+            kept = [
+                b
+                for b in blocks
+                if (id(b) in organic and _is_descendant(b.ancestors, keep))
+                or is_ref(b)
+            ]
             # A candidate subtree that somehow kept nothing falls back to
             # all content blocks.
             if not any(not b.heading for b in kept):
                 kept = content
         else:
-            kept = content
+            kept = [b for b in blocks if id(b) in organic or is_ref(b)]
     out_parts: list[str] = []
     spans: list[tuple[int, int, str]] = []
     pos = 0

@@ -113,3 +113,53 @@ def test_reference_fixture_goldens(golden_path):
     assert got_kind == kind
     golden = open(golden_path).read()
     assert text == golden  # byte-identical
+
+
+def test_citation_classed_navbar_still_drops():
+    """The page-level bibliography rule must not resurrect nav chrome
+    whose class merely says 'citation': without >=3 citation-shaped
+    blocks under reference-hinting ancestors, hinted link rows drop as
+    before."""
+    html = b"""<html><body>
+    <div class="citation-tools"><a href="/export">Export citation</a>
+    <a href="/share">Share</a></div>
+    <article><p>Main content paragraph one with enough words to count
+    as organic content for the extractor to keep it here.</p>
+    <p>Second paragraph of real content, also long enough to score as
+    a candidate block in the readability pass of the extractor.</p>
+    <p>Third paragraph keeps the candidate subtree comfortably ahead
+    of any other scoring container on this small page.</p></article>
+    </body></html>"""
+    text, _ = extract_html(html, mode="html")
+    assert "Export citation" not in text
+    assert "Main content paragraph" in text
+
+
+def test_bibliography_section_is_kept():
+    """A genuine bibliography (>=3 citation-shaped entries under a
+    reference-hinting container) is kept whole — including link-label
+    rows with no year/doi of their own (ACE parity)."""
+    entries = "".join(
+        f'<li>Author {c}. A study of topic {c}. Journal of Things, '
+        f'20{10+i}. <div class="ReferenceLinks">'
+        f"<a href='#'>View in Scopus</a><a href='#'>Google Scholar</a>"
+        f"</div></li>"
+        for i, c in enumerate("ABCD")
+    )
+    html = (
+        "<html><body><article>"
+        "<p>Main content paragraph one with enough words to count as "
+        "organic content for the extractor to keep it here.</p>"
+        "<p>Second paragraph of real content, also long enough to score "
+        "as a candidate block in the readability pass here.</p>"
+        "<p>Third paragraph keeps the candidate subtree comfortably "
+        "ahead of any other scoring container on this page.</p>"
+        "</article>"
+        f'<section class="references"><h2>References</h2><ol>{entries}</ol></section>'
+        "</body></html>"
+    ).encode()
+    text, _ = extract_html(html, mode="html")
+    assert "Journal of Things" in text
+    # the no-evidence link rows inside the bibliography are kept too
+    assert "ScopusGoogle Scholar" in text  # adjacent anchors concatenate
+    assert "Main content paragraph" in text
