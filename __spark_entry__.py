@@ -123,12 +123,17 @@ def _q_word_stats(spark, sf):
 
 
 def _q_line_dedup(spark, sf):
-    """C4/RefinedWeb inter-document line dedup: docs wrapped with a
-    shared nav header, a 2-way footer, and one unique line each — the
-    operator must drop exactly the cross-doc boilerplate and keep
-    per-doc content in original order."""
+    """C4/RefinedWeb inter-document line dedup + C4 §2.2 line-level
+    transformations (round 4): docs wrapped with a shared nav header
+    (dropped as cross-doc dup), the doc text with a terminal period
+    (kept), a doc-unique javascript notice (dropped by the C4 js
+    rule), a doc-unique unpunctuated line (dropped by the terminal-
+    punctuation rule), a doc-unique 2-word line (dropped by the
+    min-words rule), and a doc-unique kept sentence — every rule
+    exercised non-vacuously, order preserved."""
     from neurostore_text_extraction_spark.operators import webtext
 
+    sid = F.col("doc_id").cast("string")
     docs = (
         _t(spark, sf, "documents")
         .where(F.col("text").isNotNull())
@@ -137,15 +142,15 @@ def _q_line_dedup(spark, sf):
             F.concat_ws(
                 "\n",
                 F.lit("SHARED NAV HEADER"),
-                F.col("text"),
-                F.when(F.col("doc_id") % 2 == 0, F.lit("footer even")).otherwise(
-                    F.lit("footer odd")
-                ),
-                F.concat(F.lit("unique line "), F.col("doc_id").cast("string")),
+                F.concat(F.col("text"), F.lit(".")),
+                F.concat(F.lit("JavaScript required for page "), sid, F.lit(".")),
+                F.concat(F.lit("no punct line "), sid),
+                F.concat(F.lit("w"), sid, F.lit(" ok.")),
+                F.concat(F.lit("unique line "), sid, F.lit(" stays right here.")),
             ).alias("text"),
         )
     )
-    return webtext.line_dedup(docs, max_doc_freq=1)
+    return webtext.line_dedup(docs, max_doc_freq=1, c4_line_filters=True)
 
 
 def _q_lm_perplexity(spark, sf):
@@ -1453,9 +1458,12 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": """
             WITH d AS (
               SELECT doc_id,
-                     'SHARED NAV HEADER' || chr(10) || text || chr(10) ||
-                     (CASE WHEN doc_id % 2 = 0 THEN 'footer even' ELSE 'footer odd' END)
-                     || chr(10) || 'unique line ' || doc_id AS text
+                     'SHARED NAV HEADER' || chr(10) ||
+                     text || '.' || chr(10) ||
+                     'JavaScript required for page ' || doc_id || '.' || chr(10) ||
+                     'no punct line ' || doc_id || chr(10) ||
+                     'w' || doc_id || ' ok.' || chr(10) ||
+                     'unique line ' || doc_id || ' stays right here.' AS text
               FROM documents WHERE text IS NOT NULL
             ),
             ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM d),
@@ -1468,25 +1476,29 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY key
               ) WHERE nd > 1
             ),
-            kept AS (
-              SELECT * FROM lx
-              WHERE key = '' OR key NOT IN (SELECT key FROM over_cap)
+            fl AS (
+              SELECT *,
+                (key != '' AND (
+                  key IN (SELECT key FROM over_cap)
+                  OR NOT regexp_matches(key, '[.!?”"’'']$')
+                  OR len(regexp_split_to_array(key, '\s+')) < 3
+                  OR contains(lower(key), 'javascript')
+                )) AS dropped
+              FROM lx
             ),
             re AS (
               SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
                      SUM(CASE WHEN key != '' THEN 1 ELSE 0 END)::BIGINT AS n_lines_kept
-              FROM kept GROUP BY doc_id
+              FROM fl WHERE NOT dropped GROUP BY doc_id
             ),
-            tot AS (
-              SELECT doc_id,
-                     SUM(CASE WHEN key != '' THEN 1 ELSE 0 END)::BIGINT AS n_total
-              FROM lx GROUP BY doc_id
+            dr AS (
+              SELECT doc_id, SUM(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+              FROM fl GROUP BY doc_id
             )
             SELECT d.doc_id, COALESCE(re.clean_text, '') AS clean_text,
                    COALESCE(re.n_lines_kept, 0)::BIGINT AS n_lines_kept,
-                   (COALESCE(tot.n_total, 0) - COALESCE(re.n_lines_kept, 0))::BIGINT
-                     AS n_lines_dropped
-            FROM d LEFT JOIN re USING (doc_id) LEFT JOIN tot USING (doc_id)
+                   COALESCE(dr.n_dropped, 0)::BIGINT AS n_lines_dropped
+            FROM d LEFT JOIN re USING (doc_id) LEFT JOIN dr USING (doc_id)
         """,
         "lm_perplexity": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

