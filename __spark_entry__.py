@@ -1086,10 +1086,16 @@ def _q_domain_stats(spark, sf):
     return domain_stats(_synth_urls(spark, sf), size_col="n_bytes")
 
 
-def _q_pii_scrub(spark, sf):
-    """PII-shaped redaction with audit counts; synthesized contact
-    blurbs so the oracle is closed-form."""
-    from neurostore_text_extraction_spark.operators.webtext import pii_scrub
+def _q_pii_url_scrub(spark, sf):
+    """Registry-merged row (round 4, budget): PII-shaped redaction
+    with audit counts (synthesized contact blurbs, closed-form
+    oracle) JOINED with URL canonicalization — both per-doc
+    transforms over documents; the underlying operators are unchanged
+    and separately pytest-covered."""
+    from neurostore_text_extraction_spark.operators.webtext import (
+        canonicalize_urls,
+        pii_scrub,
+    )
 
     docs = _t(spark, sf, "documents")
     did = F.col("doc_id")
@@ -1102,9 +1108,12 @@ def _q_pii_scrub(spark, sf):
         F.lit(" today."),
     )
     out = pii_scrub(docs.select("doc_id", blurb.alias("text")))
+    urls = canonicalize_urls(_synth_urls(spark, sf)).select(
+        "doc_id", "canonical_url"
+    )
     return out.select(
         "doc_id", "scrubbed_text", "n_emails", "n_ssns", "n_ips", "n_phones"
-    )
+    ).join(urls, "doc_id")
 
 
 def _q_repetition_features(spark, sf):
@@ -1190,6 +1199,72 @@ def _q_events_json(spark, sf):
 
 
 
+# --- corpus_prep_report fixture (round 4): deterministic per-doc
+# variants that exercise EVERY drop reason of the corpus-prep chain
+# non-vacuously. Classes by doc_id:
+#   %17==1          -> NULL text                  (null_text)
+#   %3 !=0          -> raw synthetic text         (c4_filter: no sentences)
+#   %15==0          -> one fixed 60-word body     (exact_dup, min id kept)
+#   %15==3          -> 60 distinct tokens + per-doc tail token
+#                                                 (near_dup, jaccard ~0.92)
+#   %15==6          -> 80 PAIR-shared tokens (group doc_id//30) + 40
+#                      per-doc tokens             (substr_dup: ~55% of
+#                      20-token windows corpus-duplicated, while the
+#                      3-shingle jaccard ~0.50 stays under the 0.7
+#                      near-dup threshold)
+#   %15 in {9,12}   -> raw text + sentence tail   (kept, or gopher_filter
+#                      when the raw text fails Gopher)
+_CPR_TAIL = ". End one sentence. End two sentence. End three sentence."
+_CPR_DUP = (
+    "engine pipeline parses tokens into columns with great care and speed "
+    * 6
+).strip()
+_CPR_NEAR = " ".join(f"nearbase{i}" for i in range(60))
+
+
+def _corpus_prep_docs(spark, sf):
+    did = F.col("doc_id")
+    sid = did.cast("string")
+    gid = F.floor(did / 30).cast("long").cast("string")
+    sub_shared = F.concat_ws(
+        " ", *[F.concat(F.lit("sub"), gid, F.lit(f"w{i}")) for i in range(80)]
+    )
+    uniq = F.concat_ws(
+        " ", *[F.concat(F.lit(f"u{k}x"), sid) for k in range(40)]
+    )
+    text = (
+        F.when(did % 17 == 1, F.lit(None).cast("string"))
+        .when(did % 3 != 0, F.col("text"))
+        .when(did % 15 == 0, F.lit(_CPR_DUP + _CPR_TAIL))
+        .when(
+            did % 15 == 3,
+            F.concat(F.lit(_CPR_NEAR + " tailx"), sid, F.lit(_CPR_TAIL)),
+        )
+        .when(
+            did % 15 == 6,
+            F.concat(sub_shared, F.lit(" "), uniq, F.lit(_CPR_TAIL)),
+        )
+        .otherwise(F.concat(F.col("text"), F.lit(_CPR_TAIL)))
+    )
+    return _t(spark, sf, "documents").select("doc_id", text.alias("text"))
+
+
+def _q_corpus_prep_report(spark, sf):
+    """The flagship user journey's drop report (VERDICT r3 next-round
+    #6): C4+Gopher filters -> exact dedup -> MinHash near-dup clusters
+    -> ExactSubstr dup cap, one row per drop reason (+ 'kept'). The
+    oracle twin composes the existing quality/minhash/cluster/substr
+    CTE twins over the same fixture."""
+    from neurostore_text_extraction_spark.plans.corpus_prep import (
+        prepare_training_corpus,
+    )
+
+    res = prepare_training_corpus(_corpus_prep_docs(spark, sf), eager=False)
+    return res.report.select(
+        "reason", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # A1+A2 merged per-doc (frees a slot within the driver's ~50-row
@@ -1198,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_stats": _q_word_stats,
         "tfidf": _q_tfidf,
         "line_dedup": _q_line_dedup,
+        "corpus_prep_report": _q_corpus_prep_report,
         "lm_perplexity": _q_lm_perplexity,
         "dedup_exact": _q_exact_dedup,
         "dedup_minhash_lsh": _q_minhash_pairs,
@@ -1242,9 +1318,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_pairing": _q_table_pairing,
         "hash_embedding": _q_hash_embedding,
         "blob_metadata": _q_blob_metadata,
-        "url_canonicalize": _q_url_canonicalize,
+
         "domain_stats": _q_domain_stats,
-        "pii_scrub": _q_pii_scrub,
+        "pii_url_scrub": _q_pii_url_scrub,
         "repetition_features": _q_repetition_features,
         "contamination_check": _q_contamination,
         "event_sessions": _q_event_sessions,
@@ -1283,11 +1359,13 @@ def _hex_int_sql(expr: str, start: int, n: int) -> str:
     return f"({terms})"
 
 
-def _minhash_ctes() -> str:
-    """Shared CTE chain for the MinHash-LSH oracles: docs-with-neardups
-    → shingles → double-hash signature (h1 + i*h2 mod 2^32, mirroring
-    dedup.minhash_signatures) → 32 bands of 4 → bucket cap → candidate
-    pairs → slot-equality est_jaccard."""
+def _minhash_ctes(docs_sql: str | None = None) -> str:
+    """Shared CTE chain for the MinHash-LSH oracles: source docs
+    (default: docs-with-neardups; ``docs_sql`` overrides — it must
+    select (doc_id, text)) → shingles → double-hash signature
+    (h1 + i*h2 mod 2^32, mirroring dedup.minhash_signatures) → 32
+    bands of 4 → bucket cap → candidate pairs → slot-equality
+    est_jaccard."""
     k = dedup.MINHASH_K
     bs = dedup.LSH_BAND_SIZE
     n_bands = k // bs
@@ -1295,7 +1373,7 @@ def _minhash_ctes() -> str:
     sig_list = ", ".join(f"mh_{i}" for i in range(k))
     band_concat = " || '|' || ".join(f"sig[{bs} * b + {j + 1}]::VARCHAR" for j in range(bs))
     return f"""
-    d AS ({_NEARDUP_DOCS_SQL}),
+    d AS ({docs_sql or _NEARDUP_DOCS_SQL}),
     sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS sh FROM d),
     hv AS (
       SELECT doc_id, {_hex_int_sql('h', 1, 8)} AS h1, {_hex_int_sql('h', 9, 8)} AS h2
@@ -1499,6 +1577,126 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(re.n_lines_kept, 0)::BIGINT AS n_lines_kept,
                    COALESCE(dr.n_dropped, 0)::BIGINT AS n_lines_dropped
             FROM d LEFT JOIN re USING (doc_id) LEFT JOIN dr USING (doc_id)
+        """,
+        "corpus_prep_report": f"""
+            WITH RECURSIVE vd AS (
+              SELECT doc_id,
+                CASE
+                  WHEN doc_id % 17 = 1 THEN NULL
+                  WHEN doc_id % 3 != 0 THEN text
+                  WHEN doc_id % 15 = 0 THEN trim(repeat('engine pipeline parses tokens into columns with great care and speed ', 6)) || '. End one sentence. End two sentence. End three sentence.'
+                  WHEN doc_id % 15 = 3 THEN array_to_string(list_transform(generate_series(0, 59), i -> 'nearbase' || i), ' ') || ' tailx' || doc_id || '. End one sentence. End two sentence. End three sentence.'
+                  WHEN doc_id % 15 = 6 THEN array_to_string(list_transform(generate_series(0, 79), i -> 'sub' || (doc_id // 30) || 'w' || i), ' ') || ' ' || array_to_string(list_transform(generate_series(0, 39), k -> 'u' || k || 'x' || doc_id), ' ') || '. End one sentence. End two sentence. End three sentence.'
+                  ELSE text || '. End one sentence. End two sentence. End three sentence.'
+                END AS text
+              FROM documents
+            ),
+            cb AS (
+              SELECT doc_id, coalesce(text, '') AS t, lower(coalesce(text, '')) AS lt,
+                     list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                 w -> w != '') AS words,
+                     list_filter(string_split(coalesce(text, ''), chr(10)),
+                                 l -> trim(l) != '') AS lines
+              FROM vd
+            ),
+            cf AS (
+              SELECT doc_id,
+                len(words) AS n_words,
+                len(regexp_extract_all(t, '[^.!?]+[.!?]')) AS n_sentences,
+                CASE WHEN len(words) > 0 THEN
+                  list_sum(list_transform(words, w -> length(w))) / CAST(len(words) AS DOUBLE)
+                ELSE 0.0 END AS mean_word_len,
+                CASE WHEN len(words) > 0 THEN
+                  ((length(t) - length(replace(t, '#', '')))
+                   + (length(t) - length(replace(t, '...', ''))) / 3
+                   + (length(t) - length(replace(t, '…', ''))))
+                  / CAST(len(words) AS DOUBLE)
+                ELSE 0.0 END AS symbol_word_ratio,
+                CASE WHEN len(words) > 0 THEN
+                  len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                  / CAST(len(words) AS DOUBLE)
+                ELSE 0.0 END AS frac_alpha_words,
+                CASE WHEN len(lines) > 0 THEN
+                  len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•])')))
+                  / CAST(len(lines) AS DOUBLE)
+                ELSE 0.0 END AS frac_lines_bullet,
+                CASE WHEN len(lines) > 0 THEN
+                  len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+                  / CAST(len(lines) AS DOUBLE)
+                ELSE 0.0 END AS frac_lines_ellipsis_end,
+                contains(lt, 'lorem ipsum') AS has_lorem_ipsum,
+                contains(t, '{{') AS has_curly_brace
+              FROM cb
+            ),
+            ck AS (
+              SELECT doc_id,
+                     (n_sentences >= 3 AND NOT has_lorem_ipsum AND NOT has_curly_brace)
+                       AS keep_c4,
+                     (n_words >= 50 AND n_words <= 100000
+                      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                      AND symbol_word_ratio < 0.1 AND frac_alpha_words >= 0.8
+                      AND frac_lines_bullet < 0.9 AND frac_lines_ellipsis_end < 0.3)
+                       AS keep_gopher
+              FROM cf
+            ),
+            r1 AS (
+              SELECT vd.doc_id, vd.text,
+                     CASE WHEN vd.text IS NULL THEN 'null_text'
+                          WHEN NOT ck.keep_c4 THEN 'c4_filter'
+                          WHEN NOT ck.keep_gopher THEN 'gopher_filter' END AS reason
+              FROM vd JOIN ck USING (doc_id)
+            ),
+            fok AS (SELECT doc_id, text FROM r1 WHERE reason IS NULL),
+            reps AS (SELECT MIN(doc_id) AS rep FROM fok GROUP BY md5(text)),
+            {_minhash_ctes("SELECT doc_id, text FROM fok")},
+            pairs7 AS (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.7),
+            pedges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs7
+              UNION SELECT doc_b, doc_a FROM pairs7
+            ),
+            reach(u, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM pedges)
+              UNION
+              SELECT e.u, reach.r FROM pedges e JOIN reach ON reach.u = e.v
+            ),
+            clus AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+            r2 AS (
+              SELECT r1.doc_id, r1.text,
+                     coalesce(r1.reason,
+                       CASE WHEN r1.doc_id NOT IN (SELECT rep FROM reps)
+                              THEN 'exact_dup'
+                            WHEN EXISTS (SELECT 1 FROM clus c
+                                         WHERE c.doc_id = r1.doc_id
+                                           AND c.doc_id != c.cluster_id)
+                              THEN 'near_dup' END) AS reason
+              FROM r1
+            ),
+            s2 AS (SELECT doc_id, text FROM r2 WHERE reason IS NULL),
+            ssh AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len({_TOKS}) < 20 THEN [array_to_string({_TOKS}, ' ')]
+                ELSE list_transform(generate_series(1, len({_TOKS}) - 19),
+                                    i -> array_to_string(({_TOKS})[i:i+19], ' ')) END
+              ) AS w
+              FROM s2 WHERE len({_TOKS}) > 0
+            ),
+            sc AS (SELECT w, COUNT(*) AS n FROM ssh GROUP BY w),
+            sdf AS (
+              SELECT doc_id,
+                     round(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END)
+                           / COUNT(*)::DOUBLE, 6) AS dup_frac
+              FROM ssh JOIN sc USING (w) GROUP BY doc_id
+            ),
+            r3 AS (
+              SELECT r2.doc_id,
+                     coalesce(r2.reason,
+                       CASE WHEN coalesce(sdf.dup_frac, 0.0) > 0.5
+                            THEN 'substr_dup' END) AS reason
+              FROM r2 LEFT JOIN sdf ON sdf.doc_id = r2.doc_id
+            )
+            SELECT coalesce(reason, 'kept') AS reason,
+                   COUNT(*)::BIGINT AS n_docs
+            FROM r3 GROUP BY 1
         """,
         "lm_perplexity": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -2278,19 +2476,6 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha256
             FROM documents WHERE text IS NOT NULL
         """,
-        "url_canonicalize": """
-            SELECT doc_id,
-                   CASE WHEN doc_id % 7 = 0 THEN 'http://' ELSE 'https://' END
-                   || 'www.example' || CAST(doc_id % 50 AS VARCHAR) || '.com'
-                   -- http on port 443 is NOT the scheme's default port:
-                   -- it survives canonicalization
-                   || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
-                   || '/path' || CAST(doc_id AS VARCHAR)
-                   || CASE WHEN doc_id % 4 = 1
-                           THEN '?id=' || CAST(doc_id AS VARCHAR) ELSE '' END
-                   AS canonical_url
-            FROM documents
-        """,
         "domain_stats": """
             WITH u AS (
               SELECT doc_id,
@@ -2303,14 +2488,21 @@ def oracle_sql() -> dict[str, str]:
                    round(AVG(nb), 2) AS avg_bytes
             FROM u GROUP BY domain
         """,
-        "pii_scrub": """
+        "pii_url_scrub": """
             SELECT doc_id,
                    'Contact <EMAIL> or call <PHONE>'
                    || CASE WHEN doc_id % 3 = 0 THEN ' from <IP>' ELSE '' END
                    || ' today.' AS scrubbed_text,
                    1::INT AS n_emails, 0::INT AS n_ssns,
                    (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::INT AS n_ips,
-                   1::INT AS n_phones
+                   1::INT AS n_phones,
+                   CASE WHEN doc_id % 7 = 0 THEN 'http://' ELSE 'https://' END
+                   || 'www.example' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+                   || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
+                   || '/path' || CAST(doc_id AS VARCHAR)
+                   || CASE WHEN doc_id % 4 = 1
+                           THEN '?id=' || CAST(doc_id AS VARCHAR) ELSE '' END
+                   AS canonical_url
             FROM documents
         """,
         "repetition_features": r"""

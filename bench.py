@@ -111,8 +111,7 @@ def main() -> None:
         "llm_demographics",
         "repetition_features",
         "contamination_check",
-        "url_canonicalize",
-        "pii_scrub",
+        "pii_url_scrub",
         "eval_prf",
         "dedup_clusters",
         "session_windows",
