@@ -40,9 +40,8 @@ LAZY_QUERIES = [
     "eval_prf",
     "identifiers_json",
     "table_pairing",
-    "url_canonicalize",
     "domain_stats",
-    "pii_scrub",
+    "pii_url_scrub",
     "repetition_features",
     "line_dedup",
     "event_sessions",
