@@ -128,20 +128,26 @@ def main() -> None:
     # in single-shot runs — r3's driver artifact charged 38.7s to a
     # query that runs in ~6s on a quiet host. The min over N=3 reps
     # approximates the uncontended machine per query, INSIDE the
-    # artifact the driver records (not in side samples). Medians are
-    # published alongside for transparency.
+    # artifact the driver records (not in side samples). Reps are
+    # INTERLEAVED (3 full passes over the query list, min per query
+    # across passes) rather than back-to-back: a sustained multi-
+    # minute load spike then taxes one pass of many queries instead
+    # of every rep of whichever query it lands on (observed: all 3
+    # back-to-back ann reps inside one spike window → 8.5s recorded
+    # for a 1.1s query). Medians published alongside.
     query_reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
     medians: dict[str, float] = {}
-    for name in bench_queries:
-        q_walls = []
-        for _ in range(query_reps):
+    q_walls: dict[str, list[float]] = {name: [] for name in bench_queries}
+    for _pass in range(query_reps):
+        for name in bench_queries:
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            q_walls.append(time.perf_counter() - t0)
-        q_walls.sort()
-        timings[name] = round(q_walls[0], 3)
-        medians[name] = round(q_walls[len(q_walls) // 2], 3)
+            q_walls[name].append(time.perf_counter() - t0)
+    for name in bench_queries:
+        walls = sorted(q_walls[name])
+        timings[name] = round(walls[0], 3)
+        medians[name] = round(walls[len(walls) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
