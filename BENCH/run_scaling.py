@@ -206,6 +206,19 @@ Production config (8 tables × 4 planes × 3 probes): recall@5 = 0.972
 vs exact brute force; 16 tables × 4 planes × 3 probes measures 0.996.
 Single-table single-probe (the naive form) measures 0.304 — the
 multi-table index is the scale path.
+
+## Eager-vs-lazy materialization A/B (round 4)
+
+See `BENCH/AB_MINHASH.md` for the isolation of the r3 minhash
+"anti-scaling": quiet-host min 5.6s at BOTH 8 and 32 cores (min
+32c/8c ratios 0.92 eager / 0.97 lazy — no anti-scaling), while the
+eager persist→localCheckpoint→unpersist cycle independently showed
+3-8× intermittent stalls at 32 cores (worst 44s) that the lazy plan
+never exhibits. minhash/ngram now default lazy; simhash/substr stay
+eager (measured 2× faster, different-key consumers). `bench.py`
+additionally interleaves per-query reps across 3 full passes and
+reports the min, so neither transient nor sustained host spikes land
+in the driver artifact.
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out_path, "w") as f:

@@ -1071,15 +1071,6 @@ def _synth_urls(spark, sf):
     )
 
 
-def _q_url_canonicalize(spark, sf):
-    """URL canonicalization for crawl-level dedup: scheme/host fold,
-    default-port + fragment strip, tracking-param removal,
-    trailing-slash fold — all native regexp/HOF expressions."""
-    from neurostore_text_extraction_spark.operators.webtext import canonicalize_urls
-
-    return canonicalize_urls(_synth_urls(spark, sf)).select("doc_id", "canonical_url")
-
-
 def _q_domain_stats(spark, sf):
     from neurostore_text_extraction_spark.operators.webtext import domain_stats
 

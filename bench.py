@@ -87,7 +87,6 @@ def main() -> None:
     walls.sort()
     t_extract = walls[0]
     timings["extract_pipeline"] = round(t_extract, 3)
-    timings["extract_pipeline_median"] = round(walls[len(walls) // 2], 3)
     assert n_ok >= n_docs * 0.99, f"extraction failures: {n_ok}/{n_docs}"
 
     # --- representative operator queries (driver-contract entries) ---
@@ -135,8 +134,14 @@ def main() -> None:
     # of every rep of whichever query it lands on (observed: all 3
     # back-to-back ann reps inside one spike window → 8.5s recorded
     # for a 1.1s query). Medians published alongside.
-    query_reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
-    medians: dict[str, float] = {}
+    query_reps = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3")))
+    # extraction's median reported OUTSIDE timings: the headline
+    # `value` sums timings, and the median is a transparency stat of
+    # the SAME work, not extra workload (r2/r3 double-counted it —
+    # their published totals carry ~one extra extraction pass)
+    medians: dict[str, float] = {
+        "extract_pipeline": round(walls[(len(walls) - 1) // 2], 3)
+    }
     q_walls: dict[str, list[float]] = {name: [] for name in bench_queries}
     for _pass in range(query_reps):
         for name in bench_queries:
@@ -145,9 +150,11 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             q_walls[name].append(time.perf_counter() - t0)
     for name in bench_queries:
-        walls = sorted(q_walls[name])
-        timings[name] = round(walls[0], 3)
-        medians[name] = round(walls[len(walls) // 2], 3)
+        qw = sorted(q_walls[name])
+        timings[name] = round(qw[0], 3)
+        # lower median: for even rep counts take the smaller middle
+        # element — the conservative (load-spike-resistant) convention
+        medians[name] = round(qw[(len(qw) - 1) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -348,7 +348,13 @@ def _stopword_density(words: list[str], stopwords: frozenset) -> float:
 # BOTH signals: a reference-hinting ancestor AND citation-shaped text
 # (year / doi / et-al), so nav bars whose class merely says
 # 'citation' still drop.
-_REF_HINTS = ("reference", "bibliograph", "citation", "ref-list", "reflist")
+# word-boundary matching: a plain substring test would flag
+# class="user-preferences" (contains 'references') or "xrefs"; \b
+# requires a non-word char before the hint, so only genuine
+# reference/bibliography/citation containers match
+_REF_HINT_RE = re.compile(
+    r"\b(?:references?|bibliograph\w*|citations?|ref-list|reflist)\b"
+)
 _CITE_RE = re.compile(r"\b(?:19|20)\d{2}\b|\bdoi\b|\bet al\b", re.I)
 
 
@@ -356,7 +362,7 @@ def _has_ref_ancestor(b: _Block) -> bool:
     for a in b.ancestors[-4:]:
         h = a._refh
         if h is None:
-            h = any(x in a.hint_text for x in _REF_HINTS)
+            h = _REF_HINT_RE.search(a.hint_text) is not None
             a._refh = h
         if h:
             return True
@@ -371,10 +377,14 @@ def _reference_keep_pred(blocks: list) -> "callable":
     Scopus' link rows included — the ACE fixtures keep them).
     Otherwise only individually citation-shaped blocks survive, so a
     nav bar whose class merely says 'citation' still drops."""
+    # evidence counts CITATION-shaped text only (not headings): three
+    # dated lines under a hinted container are required before the
+    # whole region is treated as a bibliography — a hinted nav box
+    # with one 'References' heading and link rows stays boilerplate
     evidence = sum(
         1
         for b in blocks
-        if _has_ref_ancestor(b) and (b.heading or _CITE_RE.search(b.text))
+        if _has_ref_ancestor(b) and _CITE_RE.search(b.text)
     )
     bibliography = evidence >= 3
 
@@ -542,20 +552,26 @@ def extract_html(
         organic = {id(b) for b in content}
         if candidate is not None:
             keep = _keep_set(candidate)
+            # the empty-candidate fallback is decided on the BODY
+            # (candidate-subtree) blocks alone: reference blocks are
+            # appended afterwards, so a bibliography cannot mask a
+            # body-less candidate and suppress the fallback (the page
+            # would collapse to citations with the article lost)
+            body = [
+                b
+                for b in content
+                if _is_descendant(b.ancestors, keep)
+            ]
+            if not any(not b.heading for b in body):
+                body = content
+            body_ids = {id(b) for b in body}
             # reference blocks survive candidate selection too: the
             # bibliography usually lives OUTSIDE the main-text subtree
             # (its link-heavy blocks earn no readability points), yet
             # is content for scholarly pages — ACE parity keeps it
             kept = [
-                b
-                for b in blocks
-                if (id(b) in organic and _is_descendant(b.ancestors, keep))
-                or is_ref(b)
+                b for b in blocks if id(b) in body_ids or is_ref(b)
             ]
-            # A candidate subtree that somehow kept nothing falls back to
-            # all content blocks.
-            if not any(not b.heading for b in kept):
-                kept = content
         else:
             kept = [b for b in blocks if id(b) in organic or is_ref(b)]
     out_parts: list[str] = []

@@ -202,25 +202,37 @@ def _assign_via_join(
     vectors: DataFrame,
     centroids: list[list[float]],
     vec_col: str,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Large-k inverted-list assignment: corpus ⨯ broadcast centroid
-    frame → per-row distance → min per input row. Plan size is O(1)
+    frame → per-row distance → min per ``id_col``. Plan size is O(1)
     in k (the centroids are DATA, not literals); compute is the same
     k distances per doc as the literal fold, materialized as k
-    broadcast-join rows that collapse map-side (the groupBy key is
-    the input row, so partial aggregation reduces each partition's k
-    rows per doc to 1 before any shuffle). Tie-break matches the
-    literal path: lexicographic struct min = lowest list id."""
+    broadcast-join rows that collapse map-side (partial aggregation
+    reduces each partition's k rows per id to 1 before any shuffle).
+    Tie-break matches the literal path: lexicographic struct min =
+    lowest list id.
+
+    Grouping is on the ID alone (repo-wide unique-id contract, as in
+    score_perplexity) — grouping on every column would silently
+    collapse fully-duplicated rows and fail outright on un-groupable
+    column types (map-typed metadata). Carry columns ride as
+    ``F.first``: all k join rows of one input row hold identical
+    values, so the pick is deterministic in VALUE."""
     cdf = _centroids_df(vectors.sparkSession, centroids)
-    cols = vectors.columns
+    carry = [c for c in vectors.columns if c != id_col]
     joined = vectors.crossJoin(F.broadcast(cdf)).withColumn(
         "_d2", _d2_col(F.col(vec_col), F.col("_cvec"))
     )
     return (
-        joined.groupBy(*cols)
-        .agg(F.min(F.struct(F.col("_d2"), F.col("_cid"))).alias("_b"))
+        joined.groupBy(id_col)
+        .agg(
+            *[F.first(c).alias(c) for c in carry],
+            F.min(F.struct(F.col("_d2"), F.col("_cid"))).alias("_b"),
+        )
         .withColumn("_list", F.col("_b")["_cid"].cast("int"))
         .drop("_b")
+        .select(*vectors.columns, "_list")
     )
 
 
@@ -290,7 +302,7 @@ def ivf_build(
     def assign(cents: list[list[float]]) -> DataFrame:
         if literal:
             return vectors.withColumn("_list", assign_col(cents))
-        return _assign_via_join(vectors, cents, vec_col)
+        return _assign_via_join(vectors, cents, vec_col, id_col)
 
     for _ in range(n_iters):
         assigned = assign(centroids)

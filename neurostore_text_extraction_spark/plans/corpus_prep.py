@@ -34,9 +34,10 @@ same plan, so Spark runs the signal computation once.
 Materialization contract (``eager=True``): the three stage frames
 (``filtered``, ``pre``, ``tagged``) are CORPUS-cardinality — one row
 per input doc — so they are materialized RECOVERABLY
-(persist+count, lineage kept: a lost executor recomputes the lost
-blocks from source) rather than via ``localCheckpoint``, whose
-unreplicated lineage-free blocks would make a single executor loss
+(reliable ``checkpoint`` to the configured checkpoint store — tmpfs
+locally, HDFS/S3 on a cluster: a lost executor re-reads the
+checkpoint) rather than via ``localCheckpoint``, whose unreplicated
+lineage-free executor-local blocks would make a single executor loss
 fatal at 10^5-task scale. Small pair/edge frames inside the dedup
 operators keep their localCheckpoint fast path (see
 ``operators/dedup._materialize``).

@@ -89,7 +89,21 @@ def get_spark(
         # slower on the signature stage. Raise the cap; the generated
         # method still stays under the JIT's huge-method limit.
         .config("spark.sql.codegen.maxFields", "400")
+        # reliable-checkpoint files are reference-tracked and deleted
+        # when the checkpointed RDD is garbage-collected — without this
+        # every _materialize_recoverable call would leave its files on
+        # the checkpoint store forever
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # recoverable-materialization target (operators/dedup.
+    # _materialize_recoverable): local-mode default is tmpfs; on a real
+    # cluster point SPARK_CHECKPOINT_DIR at HDFS/S3 — reliable
+    # checkpoint storage is what makes corpus-sized stage results
+    # survive executor loss
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        spark.sparkContext.setCheckpointDir(
+            os.environ.get("SPARK_CHECKPOINT_DIR", "/dev/shm/spark-checkpoints")
+        )
     return spark

@@ -79,36 +79,77 @@ class Catalog:
     def _spec_path(self, table: str) -> str:
         return os.path.join(self._table_dir(table), "_partition_spec.json")
 
+    def _infer_spec_from_snapshot(self, table: str) -> list[str] | None:
+        """Derive a pre-spec-file table's layout from its NEWEST
+        snapshot's directory shape (hive dirs nest one ``col=`` level
+        per partition column): walks one path of ``col=`` segments
+        down. None when the table has no snapshots."""
+        snaps = self.snapshots(table)
+        if not snaps:
+            return None
+        spec: list[str] = []
+        d = snaps[-1]
+        while True:
+            parts = [
+                e
+                for e in os.listdir(d)
+                if "=" in e and os.path.isdir(os.path.join(d, e))
+            ]
+            if not parts:
+                return spec
+            spec.append(parts[0].split("=", 1)[0])
+            d = os.path.join(d, parts[0])
+
+    def _recorded_spec(self, table: str) -> list[str] | None:
+        """The table's partition layout: the spec file if present,
+        else inferred from existing snapshots (tables created before
+        the spec file existed — the guard must cover them too, or the
+        first post-upgrade append with a different layout would
+        silently record ITS layout and commit the mixed-layout table
+        the guard exists to prevent). None = table does not exist."""
+        import json
+
+        path = self._spec_path(table)
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)["partition_by"]
+        return self._infer_spec_from_snapshot(table)
+
     def _check_partition_spec(
         self, table: str, partition_by: list[str] | None
     ) -> None:
         """Enforce one partition layout per table lifetime (Iceberg's
-        partition-spec analogue). The first append RECORDS the spec in
-        a per-table metadata file; later appends/compacts with a
-        different layout raise instead of committing a mixed-layout
-        table — which Spark's multi-path partition discovery would
-        reject (or silently drop the partition column from) only at
-        READ time, long after the bad snapshot landed (ADVICE r3)."""
+        partition-spec analogue): appends/compacts with a layout
+        different from the recorded (or snapshot-inferred) one raise
+        instead of committing a mixed-layout table — which Spark's
+        multi-path partition discovery would reject (or silently drop
+        the partition column from) only at READ time, long after the
+        bad snapshot landed (ADVICE r3). Recording happens in
+        :meth:`_record_partition_spec` AFTER the snapshot commit — a
+        failed write must not pin a layout for an empty table."""
+        spec = list(partition_by) if partition_by else []
+        recorded = self._recorded_spec(table)
+        if recorded is not None and recorded != spec:
+            raise ValueError(
+                f"table {table!r} was created with partition_by="
+                f"{recorded}; appending with {spec} would mix "
+                "snapshot layouts. Use the recorded layout, or "
+                "compact into a NEW table to change it."
+            )
+
+    def _record_partition_spec(
+        self, table: str, partition_by: list[str] | None
+    ) -> None:
         import json
 
-        spec = list(partition_by) if partition_by else []
         path = self._spec_path(table)
         if os.path.exists(path):
-            with open(path) as f:
-                recorded = json.load(f)["partition_by"]
-            if recorded != spec:
-                raise ValueError(
-                    f"table {table!r} was created with partition_by="
-                    f"{recorded}; appending with {spec} would mix "
-                    "snapshot layouts. Use the recorded layout, or "
-                    "compact into a NEW table to change it."
-                )
-        else:
-            os.makedirs(self._table_dir(table), exist_ok=True)
-            tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as f:
-                json.dump({"partition_by": spec}, f)
-            os.rename(tmp, path)
+            return
+        spec = list(partition_by) if partition_by else []
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"partition_by": spec}, f)
+        os.rename(tmp, path)
 
     def append(
         self, df: DataFrame, table: str, partition_by: list[str] | None = None
@@ -133,6 +174,9 @@ class Catalog:
         n = self._next_seq(table)
         dest = os.path.join(self._table_dir(table), f"snap-{n:06d}-{uuid.uuid4().hex[:8]}")
         os.rename(tmp, dest)
+        # record only AFTER the snapshot committed: a failed write must
+        # not pin a (possibly wrong) layout on a still-empty table
+        self._record_partition_spec(table, partition_by)
         return dest
 
     def read(
@@ -249,11 +293,8 @@ class Catalog:
         # partition_by=None INHERITS the table's recorded spec (the
         # common case); an explicit non-matching spec is rejected by
         # append's _check_partition_spec.
-        if partition_by is None and os.path.exists(self._spec_path(table)):
-            import json
-
-            with open(self._spec_path(table)) as f:
-                partition_by = json.load(f)["partition_by"] or None
+        if partition_by is None:
+            partition_by = self._recorded_spec(table) or None
         dest = self.append(latest, table, partition_by=partition_by)
         for s in snaps:
             shutil.rmtree(s, ignore_errors=True)

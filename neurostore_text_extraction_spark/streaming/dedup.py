@@ -23,22 +23,28 @@ def dedup_stream(
     ts_col: str = "warc_ts",
     key_cols: tuple[str, ...] = ("url",),
     by_content: bool = False,
+    content_col: str | None = None,
 ) -> DataFrame:
     """First row per key within the watermark horizon.
 
     - ``key_cols=("url",)``: URL-level dedup (apply
       ``webtext.canonical_url_col`` upstream to fold mirrors).
-    - ``by_content=True`` adds md5(html) to the key, so a re-crawled
-      url with CHANGED bytes passes through (the streaming analogue of
-      the manifest's (url, input_md5) match) while byte-identical
-      re-fetches are dropped.
+    - ``by_content=True`` adds md5(content) to the key, so a
+      re-crawled url with CHANGED bytes passes through (the streaming
+      analogue of the manifest's (url, input_md5) match) while
+      byte-identical re-fetches are dropped. ``content_col`` names
+      the content column; None auto-picks ``html`` when present else
+      ``text`` (post-extraction streams carry no raw html — the
+      hard-coded column was a round-4 review finding).
 
     Works on batch DataFrames too (falls back to plain dropDuplicates)
     so the same operator is testable against a batch oracle."""
     keys = list(key_cols)
     df = pages
     if by_content:
-        df = df.withColumn("_content_md5", F.md5(F.col("html")))
+        if content_col is None:
+            content_col = "html" if "html" in df.columns else "text"
+        df = df.withColumn("_content_md5", F.md5(F.col(content_col)))
         keys.append("_content_md5")
     if not df.isStreaming:
         return df.dropDuplicates(keys).drop("_content_md5")

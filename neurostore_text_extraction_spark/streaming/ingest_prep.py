@@ -45,6 +45,7 @@ def prep_stream(
     ts_col: str = "warc_ts",
     key_cols: tuple[str, ...] = ("url",),
     by_content: bool = True,
+    content_col: str | None = None,
     sample_rate: float = 1.0,
     sample_key: str = "url",
     sample_seed: int = 0,
@@ -69,6 +70,7 @@ def prep_stream(
         ts_col=ts_col,
         key_cols=key_cols,
         by_content=by_content,
+        content_col=content_col,
     )
     if sample_rate < 1.0:
         deduped = sample_by_hash(

@@ -163,3 +163,28 @@ def test_bibliography_section_is_kept():
     # the no-evidence link rows inside the bibliography are kept too
     assert "ScopusGoogle Scholar" in text  # adjacent anchors concatenate
     assert "Main content paragraph" in text
+
+
+def test_preferences_class_is_not_a_reference_hint():
+    """'user-preferences' contains the substring 'references' — the
+    hint match must be word-boundary aware so a dated settings box
+    never flips the bibliography rule (round-4 review finding)."""
+    entries = "".join(
+        f"<li>Saved search from 20{10+i}. Retention until 20{20+i}.</li>"
+        for i in range(4)
+    )
+    html = (
+        "<html><body><article>"
+        "<p>Main content paragraph one with enough words to count as "
+        "organic content for the extractor to keep it here.</p>"
+        "<p>Second paragraph of real content, also long enough to score "
+        "as a candidate block in the readability pass here.</p>"
+        "<p>Third paragraph keeps the candidate subtree comfortably "
+        "ahead of any other scoring container on this page.</p>"
+        "</article>"
+        f'<div class="user-preferences"><a href="/a">Export</a>{entries}</div>'
+        "</body></html>"
+    ).encode()
+    text, _ = extract_html(html, mode="html")
+    assert "Saved search" not in text
+    assert "Main content paragraph" in text

@@ -160,25 +160,23 @@ def test_dedup_eager_unpersists_intermediates(spark):
     """Eager paths must not leak the big INTERMEDIATE persists
     (signatures / shingle / window frames) into the CacheManager
     across calls (ADVICE: persist-leak in long-lived sessions).
-    Allowed residue per call: small-result localCheckpoint RDDs
-    (freed by the ContextCleaner on GC) and — for substr_dup_stats
-    only — the recoverable persist of its corpus-sized RESULT, which
-    the caller owns and may unpersist."""
+    Allowed residue per call: small-result localCheckpoint RDDs and
+    substr's reliable-checkpoint result files — both freed by the
+    ContextCleaner on GC, neither registered in the CacheManager
+    (a persist()-based materialization WOULD be, and would leak
+    until explicit unpersist — the round-4 review finding that moved
+    _materialize_recoverable to reliable checkpoint)."""
     spark.catalog.clearCache()
     df = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta"])
     before = len(spark.sparkContext._jsc.getPersistentRDDs())
     dedup.minhash_lsh_pairs(df, eager=True).collect()
     dedup.ngram_jaccard_pairs(df, threshold=0.0, eager=True).collect()
     dedup.simhash_pairs(df).collect()
-    ss = dedup.substr_dup_stats(df, window_tokens=3)
-    ss.collect()
+    dedup.substr_dup_stats(df, window_tokens=3).collect()
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     # 4 calls -> at most 4 result RDDs, no intermediates
     assert after - before <= 4
-    # the only CacheManager entry is substr's recoverable result
-    # persist (lineage kept — VERDICT r3 #2); once the caller releases
-    # it the cache is empty again
-    ss.unpersist()
+    # and NOTHING remains registered in the session CacheManager
     jcm = spark._jsparkSession.sharedState().cacheManager()
     assert jcm.isEmpty()
 

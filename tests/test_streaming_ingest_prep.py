@@ -123,3 +123,20 @@ def test_prep_stream_plan_is_stateless_except_dedup(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # batch fallback dedups via aggregate; the gate and sampler add none
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_prep_stream_works_without_html_column(spark):
+    """Post-extraction streams carry (url, warc_ts, text) but no raw
+    html; content-keyed dedup must auto-fall-back to the text column
+    instead of crashing on the missing html (round-4 review finding)."""
+    rows = [
+        (u, ts, t, lang)
+        for (u, ts, h, t, lang) in _crawl_rows()
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string"
+    )
+    out = prep_stream(docs).select("url", "text").collect()
+    assert out
+    # changed re-crawl still passes (text-keyed)
+    assert any("Updated content" in r["text"] for r in out)
