@@ -115,3 +115,49 @@ def test_chunker_respects_budget(sent_lens, budget):
         assert n <= budget or n == 0
     # token conservation: no tokens invented
     assert sum(len(c.split()) for c in chunks) <= len(text.split())
+
+
+# --- round 4: BPE properties (pure python, no Spark) ---------------
+
+from neurostore_text_extraction_spark.functions import bpe as _bpe
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_bpe_roundtrip_arbitrary_unicode(s):
+    """encode∘decode is the identity for ANY unicode string (the
+    byte-level base alphabet guarantees no OOV), and count == len."""
+    enc = _bpe.default_bpe()
+    ids = enc.encode(s)
+    assert enc.decode(ids) == s
+    assert enc.count(s) == len(ids)
+    assert all(0 <= i < 256 + len(enc.merges) for i in ids)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_bpe_pretokenize_partitions_text(s):
+    """Pre-tokens concatenate back to the input exactly — nothing
+    dropped, nothing duplicated (the count UDF's token total is then
+    a true partition of the document)."""
+    assert "".join(_bpe.pretokenize(s)) == s
+
+
+@given(st.lists(st.text(min_size=1, max_size=30), min_size=1, max_size=30))
+@settings(max_examples=50, deadline=None)
+def test_bpe_training_is_deterministic(corpus):
+    m1 = _bpe.train_bpe(corpus, 30)
+    m2 = _bpe.train_bpe(corpus, 30)
+    assert m1 == m2
+    assert _bpe.load_merges(_bpe.dump_merges(m1)) == m1
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_reference_keep_rule_total(s):
+    """The bibliography keep-rule must never crash extract_html on
+    arbitrary text content (regex over arbitrary block text)."""
+    html = f'<html><body><div class="references"><p>{s}</p></div></body></html>'
+    text, spans = extract_html(html.encode(), mode="html")
+    for a, b, kind in spans:
+        assert 0 <= a <= b <= len(text)
