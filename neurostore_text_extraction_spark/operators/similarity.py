@@ -204,35 +204,42 @@ def _assign_via_join(
     vec_col: str,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Large-k inverted-list assignment: corpus ⨯ broadcast centroid
-    frame → per-row distance → min per ``id_col``. Plan size is O(1)
-    in k (the centroids are DATA, not literals); compute is the same
-    k distances per doc as the literal fold, materialized as k
-    broadcast-join rows that collapse map-side (partial aggregation
-    reduces each partition's k rows per id to 1 before any shuffle).
-    Tie-break matches the literal path: lexicographic struct min =
-    lowest list id.
+    """Large-k inverted-list assignment with plan size O(1) in k: the
+    centroid table rides as ONE broadcast row holding an
+    ``array<struct<_cid,_cvec>>`` column, and each corpus row argmins
+    over it with a higher-order ``aggregate`` fold — k·dim work per
+    row, zero row blowup, zero shuffle, zero aggregation (an earlier
+    k-rows-per-doc broadcast-join + groupBy(min(struct)) variant
+    compiled to SortAggregate — struct minima have no mutable hash-agg
+    buffer — sorting k·N rows per partition for nothing; plan-audited,
+    round 4). The centroids are DATA (a 25 MB broadcast at k=4096,
+    dim=768), never plan literals.
 
-    Grouping is on the ID alone (repo-wide unique-id contract, as in
-    score_perplexity) — grouping on every column would silently
-    collapse fully-duplicated rows and fail outright on un-groupable
-    column types (map-typed metadata). Carry columns ride as
-    ``F.first``: all k join rows of one input row hold identical
-    values, so the pick is deterministic in VALUE."""
-    cdf = _centroids_df(vectors.sparkSession, centroids)
-    carry = [c for c in vectors.columns if c != id_col]
-    joined = vectors.crossJoin(F.broadcast(cdf)).withColumn(
-        "_d2", _d2_col(F.col(vec_col), F.col("_cvec"))
+    Duplicate input rows are preserved (no grouping) and every column
+    type passes through untouched — exactly the literal path's
+    behavior. Tie-break also matches: the fold's strict ``<`` keeps
+    the FIRST minimal centroid, i.e. the lowest list id."""
+    spark = vectors.sparkSession
+    cents_row = spark.createDataFrame(
+        [([(i, [float(x) for x in c]) for i, c in enumerate(centroids)],)],
+        "_cents array<struct<_cid: int, _cvec: array<double>>>",
     )
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("i")
+    )
+
+    def step(acc, cent):
+        d2 = _d2_col(F.col(vec_col), cent["_cvec"])
+        return F.when(
+            d2 < acc["d"],
+            F.struct(d2.alias("d"), cent["_cid"].alias("i")),
+        ).otherwise(acc)
+
     return (
-        joined.groupBy(id_col)
-        .agg(
-            *[F.first(c).alias(c) for c in carry],
-            F.min(F.struct(F.col("_d2"), F.col("_cid"))).alias("_b"),
-        )
-        .withColumn("_list", F.col("_b")["_cid"].cast("int"))
-        .drop("_b")
-        .select(*vectors.columns, "_list")
+        vectors.crossJoin(F.broadcast(cents_row))
+        .withColumn("_b", F.aggregate(F.col("_cents"), init, step))
+        .withColumn("_list", F.col("_b")["i"])
+        .drop("_cents", "_b")
     )
 
 
