@@ -561,36 +561,66 @@ def _q_mean_pool(spark, sf):
     )
 
 
-def _q_normalize(spark, sf):
-    """F1 normalize_string (capwords parity) as a pandas UDF, oracled
-    by equivalent SQL string ops."""
+def _q_textnorm_abbrev(spark, sf):
+    """Registry-merged row (round 4, budget): F1 normalize_string
+    (capwords parity) JOINED with F2 Schwartz–Hearst abbreviation
+    detection (input salted with a known definition so the oracle is
+    expressible) — both per-doc pandas-UDF text functions over
+    documents; operators unchanged, separately pytest-covered."""
     from neurostore_text_extraction_spark.operators.postprocess import (
+        extract_abbreviations_udf,
         normalize_string_udf,
     )
 
     docs = _t(spark, sf, "documents")
-    return docs.select("doc_id", normalize_string_udf(F.col("text")).alias("norm_text"))
-
-
-def _q_abbreviations(spark, sf):
-    """F2 Schwartz–Hearst detection (pandas UDF); input salted with a
-    known definition so the oracle is expressible."""
-    from neurostore_text_extraction_spark.operators.postprocess import (
-        extract_abbreviations_udf,
+    norm = docs.select(
+        "doc_id", normalize_string_udf(F.col("text")).alias("norm_text")
     )
-
-    docs = _t(spark, sf, "documents")
     salted = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.concat(
             F.col("text"), F.lit(" Magnetic Resonance Imaging (MRI) end.")
         ).alias("salted"),
     )
-    return (
-        salted.select(
-            "doc_id", F.explode(extract_abbreviations_udf(F.col("salted"))).alias("ab")
+    ab = salted.select(
+        "doc_id", F.explode(extract_abbreviations_udf(F.col("salted"))).alias("ab")
+    ).select("doc_id", "ab.short_text", "ab.long_text")
+    return norm.join(ab, "doc_id", "left")
+
+
+def _q_url_quality_filter(spark, sf):
+    """RefinedWeb §3.1.1-style URL triage: curated domain blocklist
+    (subdomain-aware) + flagged-word scoring over the URL itself —
+    the cheapest filter in a crawl pipeline, exercised with
+    deterministically planted bad domains and bad path words."""
+    from neurostore_text_extraction_spark.operators.webtext import (
+        url_quality_filter,
+    )
+
+    did = F.col("doc_id")
+    urls = _synth_urls(spark, sf).select(
+        "doc_id",
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit("https://ads.blocked"),
+                (did % 3).cast("string"),
+                F.lit(".example/page"),
+            ),
         )
-        .select("doc_id", "ab.short_text", "ab.long_text")
+        .when(
+            did % 13 == 0,
+            F.concat(F.lit("https://ok.example/casino/bonus"), did.cast("string")),
+        )
+        .otherwise(F.col("url"))
+        .alias("url"),
+    )
+    out = url_quality_filter(
+        urls,
+        blocked_domains=["blocked0.example", "blocked1.example", "blocked2.example"],
+    )
+    return out.select(
+        "doc_id", "domain", "n_banned_hits", "blocked_domain", "keep_url"
     )
 
 
@@ -1292,8 +1322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
         "embedding_mean_pool": _q_mean_pool,
-        "normalize_string": _q_normalize,
-        "abbreviations": _q_abbreviations,
+        "textnorm_abbrev": _q_textnorm_abbrev,
+        "url_quality_filter": _q_url_quality_filter,
         "extract_roundtrip": _q_extract_roundtrip,
         "entity_link": _q_entity_link,
         "entity_link_ctx": _q_entity_link_ctx,
@@ -2210,7 +2240,7 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             ) GROUP BY label, dim
         """,
-        "normalize_string": r"""
+        "textnorm_abbrev": r"""
             WITH n AS (
               SELECT doc_id,
                 replace(array_to_string(
@@ -2218,16 +2248,57 @@ def oracle_sql() -> dict[str, str]:
                                  w -> upper(w[1]) || lower(w[2:])),
                   ' '), chr(8217), '''') AS c
               FROM documents
+            ),
+            nt AS (
+              SELECT doc_id,
+                     CASE WHEN c IN ('', 'None', 'Nan', 'N/a', 'Null') THEN NULL ELSE c END
+                     AS norm_text
+              FROM n
+            ),
+            ab AS (
+              SELECT doc_id, 'MRI' AS short_text,
+                     'Magnetic Resonance Imaging' AS long_text
+              FROM documents WHERE text IS NOT NULL
             )
-            SELECT doc_id,
-                   CASE WHEN c IN ('', 'None', 'Nan', 'N/a', 'Null') THEN NULL ELSE c END
-                   AS norm_text
-            FROM n
+            SELECT nt.doc_id, nt.norm_text, ab.short_text, ab.long_text
+            FROM nt LEFT JOIN ab USING (doc_id)
         """,
-        "abbreviations": """
-            SELECT doc_id, 'MRI' AS short_text,
-                   'Magnetic Resonance Imaging' AS long_text
-            FROM documents WHERE text IS NOT NULL
+        "url_quality_filter": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE
+                  WHEN doc_id % 11 = 0 THEN
+                    'https://ads.blocked' || (doc_id % 3) || '.example/page'
+                  WHEN doc_id % 13 = 0 THEN
+                    'https://ok.example/casino/bonus' || doc_id
+                  ELSE
+                    (CASE WHEN doc_id % 7 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END)
+                    || 'WWW.Example' || (doc_id % 50) || '.COM:443/path' || doc_id
+                    || (CASE WHEN doc_id % 4 = 0 THEN '/?utm_source=x&fbclid=1'
+                             WHEN doc_id % 4 = 1 THEN '?id=' || doc_id || '&utm_medium=email'
+                             WHEN doc_id % 4 = 2 THEN '#section2'
+                             ELSE '' END)
+                END AS url
+              FROM documents
+            ),
+            d AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS domain
+              FROM u
+            ),
+            s AS (
+              SELECT doc_id, url, domain,
+                len(list_filter(['casino','viagra','lottery','betting','escort','warez','freebet','clickbait'],
+                                w -> contains(lower(url), w)))::INT AS n_banned_hits,
+                (domain IN ('blocked0.example', 'blocked1.example', 'blocked2.example')
+                 OR domain LIKE '%.blocked0.example'
+                 OR domain LIKE '%.blocked1.example'
+                 OR domain LIKE '%.blocked2.example') AS blocked_domain
+              FROM d
+            )
+            SELECT doc_id, domain, n_banned_hits, blocked_domain,
+                   (NOT blocked_domain AND n_banned_hits <= 0) AS keep_url
+            FROM s
         """,
         "extract_roundtrip": r"""
             SELECT doc_id,

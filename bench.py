@@ -119,6 +119,8 @@ def main() -> None:
         "line_dedup",
         "lm_perplexity",
         "substr_dedup",
+        # round-4 operators
+        "url_quality_filter",
     ]
     if not RUN_QUERIES:
         bench_queries = []

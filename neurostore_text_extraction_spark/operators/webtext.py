@@ -80,6 +80,104 @@ def domain_col(url: Column) -> Column:
     )
 
 
+# RefinedWeb §3.1.1-style URL filtering: curated blocklist of adult /
+# fraud domains plus a soft score over flagged words appearing in the
+# URL itself. Word list here is a small clean demonstrative subset
+# (the real curated lists are external artifacts a deployment loads).
+URL_BANNED_WORDS = (
+    "casino", "viagra", "lottery", "betting", "escort", "warez",
+    "freebet", "clickbait",
+)
+
+
+def url_quality_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    blocked_domains: "list[str] | DataFrame | None" = None,
+    banned_words: tuple[str, ...] = URL_BANNED_WORDS,
+    max_word_hits: int = 0,
+) -> DataFrame:
+    """RefinedWeb-style URL-level triage BEFORE any content work —
+    the cheapest filter in the pipeline, so it runs first at crawl
+    scale: adds ``domain``, ``n_banned_hits`` (flagged words appearing
+    anywhere in the lowercased URL), ``blocked_domain`` and
+    ``keep_url`` (not blocked AND hits <= ``max_word_hits``).
+
+    ``blocked_domains`` matching covers subdomains (``ads.evil.com``
+    is blocked by ``evil.com``). Two shapes:
+
+    - a python list → a literal-array ``exists()`` check: narrow map,
+      zero shuffle; right for small curated lists.
+    - a DataFrame with a ``domain`` column → the SCALE path for
+      UT1-sized lists (millions of entries, far beyond plan-literal
+      size): the list broadcasts to workers as a frozenset and the
+      domain's suffix chain (``a.b.c → [a.b.c, b.c, c]``) is checked
+      by an Arrow-batched pandas UDF — narrow, zero corpus shuffle,
+      O(labels) set lookups per row.
+    """
+    dom = domain_col(F.col(url_col))
+    low = F.lower(F.col(url_col))
+    hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in banned_words]),
+            lambda w: low.contains(w),
+        )
+    ).cast("int")
+    out = df.withColumn("domain", dom).withColumn("n_banned_hits", hits)
+    if blocked_domains is None:
+        blocked = F.lit(False)
+        out = out.withColumn("blocked_domain", blocked)
+    elif isinstance(blocked_domains, (list, tuple)):
+        barr = F.array(*[F.lit(b.lower()) for b in blocked_domains])
+        blocked = F.exists(
+            barr,
+            lambda b: (F.col("domain") == b)
+            | F.col("domain").endswith(F.concat(F.lit("."), b)),
+        )
+        out = out.withColumn("blocked_domain", F.coalesce(blocked, F.lit(False)))
+    else:
+        # UT1-scale lists (millions of domains): the list collects to
+        # the driver ONCE (bounded by blocklist size, not corpus) and
+        # ships to workers as a broadcast frozenset; membership of the
+        # domain's suffix chain is an Arrow-batched pandas UDF — a
+        # NARROW stage, zero corpus shuffle (an explode+join+regroup
+        # formulation would shuffle the whole corpus back together
+        # just to re-collapse the suffix rows).
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        entries = frozenset(
+            r[0]
+            for r in blocked_domains.select(
+                F.lower(F.col("domain"))
+            ).collect()
+            if r[0]
+        )
+        bset = df.sparkSession.sparkContext.broadcast(entries)
+
+        def _blocked(doms):
+            s = bset.value
+
+            def hit(d):
+                if not isinstance(d, str) or not d:
+                    return False
+                labels = d.split(".")
+                return any(
+                    ".".join(labels[i:]) in s for i in range(len(labels))
+                )
+
+            return doms.map(hit)
+
+        _blocked.__annotations__ = {"doms": pd.Series, "return": pd.Series}
+        out = out.withColumn(
+            "blocked_domain", pandas_udf(_blocked, "boolean")(F.col("domain"))
+        )
+    return out.withColumn(
+        "keep_url",
+        ~F.col("blocked_domain") & (F.col("n_banned_hits") <= max_word_hits),
+    )
+
+
 def domain_stats(
     df: DataFrame, url_col: str = "url", size_col: str | None = None
 ) -> DataFrame:

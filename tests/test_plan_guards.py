@@ -31,8 +31,8 @@ LAZY_QUERIES = [
     "pricing_summary",
     "revenue_topn",
     "embedding_mean_pool",
-    "normalize_string",
-    "abbreviations",
+    "textnorm_abbrev",
+    "url_quality_filter",
     "demographics_clean",
     "nested_postprocess",
     "patient_study",
@@ -50,7 +50,10 @@ LAZY_QUERIES = [
 # lazy queries that legitimately cross into Python (Arrow-batched):
 # F1/F2 ride pandas UDFs by design (capwords / Schwartz–Hearst
 # reference parity); nested_postprocess's ctx variant carries one
-PYTHON_OK = {"nested_postprocess", "normalize_string", "abbreviations"}
+# textnorm_abbrev rides pandas UDFs by design (capwords /
+# Schwartz–Hearst reference parity); url_quality_filter's list path
+# (the one registered) is pure expressions
+PYTHON_OK = {"nested_postprocess", "textnorm_abbrev"}
 
 # word_deviance broadcasts its 1-ROW global mean with a cross join —
 # that is the intended plan (corpus-scoped scalar, not a blowup)

@@ -202,3 +202,67 @@ def test_dedup_within_doc_paragraphs(spark):
     df2 = spark.createDataFrame([(1, "a||b||a")], "doc_id int, text string")
     got2 = dedup_within_doc(df2, sep="||").collect()[0]["text"]
     assert got2 == "a||b"
+
+
+def test_url_quality_filter_list_and_frame_paths_agree(spark):
+    """RefinedWeb-style URL triage: the literal-list path (small
+    curated lists) and the broadcast-set pandas-UDF path (UT1-scale
+    DataFrame lists) must block identically, subdomains included."""
+    from neurostore_text_extraction_spark.operators.webtext import (
+        url_quality_filter,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://evil.example/home"),
+            (2, "https://ads.evil.example/track"),      # subdomain block
+            (3, "https://good.example/article"),
+            (4, "https://good.example/casino/bonus"),   # word hit
+            (5, "https://notevil.example/x"),           # no partial match
+            (6, None),
+        ],
+        "doc_id long, url string",
+    )
+    blocked = ["evil.example"]
+    lst = url_quality_filter(urls, blocked_domains=blocked)
+    frame = url_quality_filter(
+        urls,
+        blocked_domains=spark.createDataFrame(
+            [(d,) for d in blocked], "domain string"
+        ),
+    )
+    def snap(df):
+        return {
+            r["doc_id"]: (bool(r["blocked_domain"]), r["n_banned_hits"], bool(r["keep_url"]))
+            for r in df.collect()
+        }
+    a, b = snap(lst), snap(frame)
+    assert a == b
+    assert a[1] == (True, 0, False)
+    assert a[2] == (True, 0, False)   # subdomain blocked
+    assert a[3] == (False, 0, True)
+    assert a[4] == (False, 1, False)  # casino word hit
+    assert a[5] == (False, 0, True)   # 'notevil.example' != '.evil.example'
+
+
+def test_url_quality_filter_is_narrow(spark):
+    """Both blocklist shapes must stay shuffle-free — URL triage is
+    the first, cheapest stage of a crawl pipeline."""
+    from neurostore_text_extraction_spark.operators.webtext import (
+        url_quality_filter,
+    )
+
+    urls = spark.createDataFrame(
+        [(1, "https://a.example/x")], "doc_id long, url string"
+    )
+    for bd in (
+        ["evil.example"],
+        spark.createDataFrame([("evil.example",)], "domain string"),
+    ):
+        plan = (
+            url_quality_filter(urls, blocked_domains=bd)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
