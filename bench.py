@@ -137,6 +137,13 @@ def main() -> None:
     # back-to-back ann reps inside one spike window → 8.5s recorded
     # for a 1.1s query). Medians published alongside.
     query_reps = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3")))
+    # Wall-clock budget guard: pass 1 always completes (every query
+    # gets a measurement); later passes only start while the budget
+    # holds, so a driver-side timeout can never truncate the artifact
+    # mid-pass — under heavy host load the bench degrades to fewer
+    # passes instead of a killed process with no JSON line.
+    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "420"))
+    bench_t0 = time.perf_counter()
     # extraction's median reported OUTSIDE timings: the headline
     # `value` sums timings, and the median is a transparency stat of
     # the SAME work, not extra workload (r2/r3 double-counted it —
@@ -145,7 +152,11 @@ def main() -> None:
         "extract_pipeline": round(walls[(len(walls) - 1) // 2], 3)
     }
     q_walls: dict[str, list[float]] = {name: [] for name in bench_queries}
+    passes_run = 0
     for _pass in range(query_reps):
+        if _pass > 0 and time.perf_counter() - bench_t0 > budget_sec:
+            break
+        passes_run += 1
         for name in bench_queries:
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
@@ -168,6 +179,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "query_reps": query_reps,
+                "query_passes_run": passes_run,
                 "sf": _SF_GUESS,
                 "extract_docs_per_sec": round(n_docs / t_extract, 1),
                 "extract_mb_per_sec": round(total_bytes / 1e6 / t_extract, 1),

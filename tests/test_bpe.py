@@ -9,14 +9,32 @@ from neurostore_text_extraction_spark.functions import bpe
 
 def test_train_deterministic_and_pinned():
     corpus = ["low lower lowest", "new newer newest", "low low new"]
-    m1 = bpe.train_bpe(corpus, 10)
-    m2 = bpe.train_bpe(corpus, 10)
+    m1 = bpe.train_bpe(corpus, 8)
+    m2 = bpe.train_bpe(corpus, 8)
     assert m1 == m2
-    # pinned first merges: most frequent pair wins, ties break on
-    # lexicographically smallest pair
+    # PINNED merge sequence on this reference corpus: most frequent
+    # pair wins, ties break on the lexicographically smallest pair —
+    # any change to training is a contract break, not a refactor
+    assert [(a.decode(), b.decode()) for a, b in m1] == [
+        ("l", "o"), ("lo", "w"), ("e", "w"), ("n", "ew"),
+        (" ", "low"), (" ", "new"), (" low", "e"), (" new", "e"),
+    ]
     enc = bpe.BPE(m1)
     ids = enc.encode("low lower")
     assert enc.decode(ids) == "low lower"
+    assert ids == [257, 262, 114]  # 'low', ' lowe', 'r'
+    assert enc.count("newest") == 4
+
+
+def test_committed_merges_table_pinned():
+    """The committed resources/bpe_merges.txt is a versioned model
+    artifact: its head merges and a reference count are pinned so a
+    silent retrain (or resource-loading bug) fails loudly. Regenerate
+    intentionally with scripts/train_bpe_merges.py."""
+    enc = bpe.default_bpe()
+    assert len(enc.merges) == 2000
+    assert enc.merges[:3] == [(b"e", b"r"), (b" ", b"s"), (b"i", b"n")]
+    assert enc.count("the scan filter") == 3
 
 
 def test_serialization_roundtrip():
