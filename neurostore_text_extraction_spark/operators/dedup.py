@@ -124,7 +124,18 @@ def _materialize_recoverable(df: DataFrame) -> DataFrame:
     that leaks executor storage across calls in long-lived sessions.
     Checkpoint files carry no CacheManager entry and are reference-
     tracked (``spark.cleaner.referenceTracking.cleanCheckpoints``):
-    deleted when the frame is garbage-collected."""
+    deleted when the frame is garbage-collected.
+
+    Sessions built outside :func:`session.get_spark` (a host harness's
+    own SparkSession) may have NO checkpoint dir — ``checkpoint()``
+    would throw — so one is set on demand here, same default/env."""
+    import os
+
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        sc.setCheckpointDir(
+            os.environ.get("SPARK_CHECKPOINT_DIR", "/dev/shm/spark-checkpoints")
+        )
     return df.checkpoint(eager=True)
 
 
