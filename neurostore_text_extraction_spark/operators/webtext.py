@@ -225,10 +225,11 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def repetition_features(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """C4/Gopher-style repetition signals per doc:
+def repetition_signal_cols(text_col: str = "text") -> "dict[str, Column]":
+    """The repetition signals as UNROUNDED column expressions — usable
+    both by :func:`repetition_features` (rounded per-doc frame) and
+    appended in place by ``plans.corpus_prep`` (same no-join pattern
+    as ``c4_gopher_signal_cols``):
 
     - dup_line_frac: fraction of non-empty lines that are duplicates
       of an earlier line;
@@ -281,12 +282,26 @@ def repetition_features(
     mean_line_len = F.when(
         n_lines > 0, total_line_chars / n_lines.cast("double")
     ).otherwise(0.0)
+    return {
+        "dup_line_frac": dup_line_frac,
+        "top_word_frac": top_word_frac,
+        "mean_line_len": mean_line_len,
+        "n_lines": n_lines,
+    }
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc rounded repetition-signal frame (see
+    :func:`repetition_signal_cols`)."""
+    sig = repetition_signal_cols(text_col)
     return df.select(
         F.col(id_col),
-        F.round(dup_line_frac, 4).alias("dup_line_frac"),
-        F.round(top_word_frac, 4).alias("top_word_frac"),
-        F.round(mean_line_len, 4).alias("mean_line_len"),
-        n_lines.cast("int").alias("n_lines"),
+        F.round(sig["dup_line_frac"], 4).alias("dup_line_frac"),
+        F.round(sig["top_word_frac"], 4).alias("top_word_frac"),
+        F.round(sig["mean_line_len"], 4).alias("mean_line_len"),
+        sig["n_lines"].cast("int").alias("n_lines"),
     )
 
 

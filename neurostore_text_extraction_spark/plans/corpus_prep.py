@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..operators import dedup
 from ..operators.textquality import c4_gopher_signal_cols
-from ..operators.webtext import line_dedup, pii_scrub
+from ..operators.webtext import line_dedup, pii_scrub, repetition_signal_cols
 
 
 @dataclass
@@ -72,6 +72,9 @@ def prepare_training_corpus(
     text_col: str = "text",
     require_c4: bool = True,
     require_gopher: bool = True,
+    gopher_repetition: bool = False,
+    max_dup_line_frac: float = 0.3,
+    max_top_word_frac: float = 0.2,
     line_dedup_max_doc_freq: int = 1,
     substr_window_tokens: int = 20,
     max_substr_dup_frac: float = 0.5,
@@ -107,6 +110,15 @@ def prepare_training_corpus(
         .when(F.lit(require_c4) & ~F.col("keep_c4"), F.lit("c4_filter"))
         .when(F.lit(require_gopher) & ~F.col("keep_gopher"), F.lit("gopher_filter"))
     )
+    if gopher_repetition:
+        # Gopher §A1.1's repetition rules as a drop reason: still a
+        # pure column expression over the text (same no-join pattern)
+        rep = repetition_signal_cols(text_col)
+        reason = reason.when(
+            (rep["dup_line_frac"] > max_dup_line_frac)
+            | (rep["top_word_frac"] > max_top_word_frac),
+            F.lit("gopher_repetition"),
+        )
     filtered = base.withColumns(
         {"keep_c4": sig["keep_c4"], "keep_gopher": sig["keep_gopher"]}
     )

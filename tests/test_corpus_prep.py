@@ -148,3 +148,35 @@ def test_optional_quality_classifier_stage(spark):
     assert reasons[2] == "quality_clf"
     scores = {r["doc_id"]: r["quality_clf_score"] for r in out.tagged.collect()}
     assert scores[1] > 0.9 and scores[2] < 0.1
+
+
+def test_gopher_repetition_drop_reason(spark):
+    """Gopher §A1.1 repetition rules as a first-class drop reason
+    (flag-gated, default off): a doc that passes C4+Gopher stats but
+    is mostly one repeated line drops as 'gopher_repetition'."""
+    good = (
+        "This is a clean enough document with a decent number of words "
+        "in every sentence. It talks about several different things in "
+        "plain language today. The quick brown fox jumps over the lazy "
+        "dog near the river bank. Most lines end with terminal "
+        "punctuation as real prose does. A few more sentences pad the "
+        "word count comfortably past the Gopher minimum of fifty words "
+        "so only the repetition rule separates the two documents here."
+    )
+    # repeated-line doc: n_words/sentences pass, dup_line_frac ~0.9
+    rep_line = "The same boilerplate sentence repeats on every line here."
+    repetitive = "\n".join([rep_line] * 10) + "\n" + good
+    docs = spark.createDataFrame(
+        [(1, good), (2, repetitive)], "doc_id long, text string"
+    )
+    res = prepare_training_corpus(docs, gopher_repetition=True, eager=False)
+    reasons = {r["doc_id"]: r["drop_reason"] for r in res.tagged.collect()}
+    assert reasons[1] is None
+    assert reasons[2] == "gopher_repetition"
+    # default OFF: the repetition reason never fires (doc 2 still
+    # drops — as a near-dup of doc 1, whose text it contains — which
+    # is the point: the repetition rule catches it EARLIER and
+    # cheaper, before any dedup shuffle)
+    res2 = prepare_training_corpus(docs, eager=False)
+    reasons2 = {r["doc_id"]: r["drop_reason"] for r in res2.tagged.collect()}
+    assert reasons2[2] != "gopher_repetition"
