@@ -18,7 +18,7 @@ Stage properties on a stream:
   sample is byte-identical to the batch sample of the same rows
   (asserted in ``tests/test_streaming_ingest_prep.py``).
 
-Stage ORDER: gate → dedup → sample. The gate first (cheapest, biggest
+Stage ORDER: url triage → gate → dedup → sample. The gate first (cheapest, biggest
 reduction — junk never allocates dedup state); the sampler after
 dedup so sampling rates apply to unique documents, not to re-fetch
 multiplicity (a retry storm must not change a url's keep odds — with
@@ -27,9 +27,9 @@ hash sampling it cannot either way, but rate ACCOUNTING is on uniques).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
-from ..operators.webtext import sample_by_hash
+from ..operators.webtext import sample_by_hash, url_quality_filter
 from .dedup import dedup_stream
 from .quality import quality_filter
 
@@ -37,6 +37,7 @@ from .quality import quality_filter
 def prep_stream(
     pages: DataFrame,
     text_col: str = "text",
+    url_blocked_domains=None,
     require_c4: bool = True,
     require_gopher: bool = True,
     quality_model=None,
@@ -56,6 +57,15 @@ def prep_stream(
     keeps batch-side dropDuplicates deterministic — the key then
     includes the content hash, so 'first wins' cannot pick different
     survivors across runs for byte-identical dups)."""
+    if url_blocked_domains is not None:
+        # cheapest gate first: URL-level triage is a pure narrow map
+        # (or broadcast-set UDF) over the url alone — blocked pages
+        # never even reach the text-quality expressions
+        pages = (
+            url_quality_filter(pages, blocked_domains=url_blocked_domains)
+            .where(F.col("keep_url"))
+            .drop("domain", "n_banned_hits", "blocked_domain", "keep_url")
+        )
     gated = quality_filter(
         pages,
         text_col=text_col,

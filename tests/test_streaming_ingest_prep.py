@@ -140,3 +140,44 @@ def test_prep_stream_works_without_html_column(spark):
     assert out
     # changed re-crawl still passes (text-keyed)
     assert any("Updated content" in r["text"] for r in out)
+
+
+def test_url_triage_runs_first_on_stream_and_batch(spark, tmp_path):
+    """URL-level triage composes as the FIRST prep stage; stream and
+    batch agree, and blocked domains never reach the output."""
+    rows = _crawl_rows(20)
+    # redirect some urls to a blocked domain
+    rows = [
+        (u.replace("ex.com", "evil.example") if i % 6 == 0 else u, ts, h, t, lang)
+        for i, (u, ts, h, t, lang) in enumerate(rows)
+    ]
+    docs = spark.createDataFrame(rows, SCHEMA)
+    batch = {
+        (r["url"], r["text"])
+        for r in prep_stream(
+            docs, url_blocked_domains=["evil.example"]
+        ).select("url", "text").collect()
+    }
+    assert batch and not any("evil.example" in u for (u, _) in batch)
+    src = str(tmp_path / "crawl2")
+    docs.where("minute(warc_ts) < 10").coalesce(1).write.mode("append").parquet(src)
+    docs.where("minute(warc_ts) >= 10").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        prep_stream(stream, url_blocked_domains=["evil.example"])
+        .select("url", "text")
+        .writeStream.format("memory")
+        .queryName("prep_url_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["url"], r["text"]) for r in spark.table("prep_url_out").collect()
+    }
+    assert streamed == batch
