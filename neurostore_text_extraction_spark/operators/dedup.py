@@ -126,12 +126,29 @@ def _materialize_recoverable(df: DataFrame) -> DataFrame:
     tracked (``spark.cleaner.referenceTracking.cleanCheckpoints``):
     deleted when the frame is garbage-collected.
 
-    Sessions built outside :func:`session.get_spark` (a host harness's
-    own SparkSession) may have NO checkpoint dir — ``checkpoint()``
-    would throw — so one is set on demand here, same default/env."""
+    Sessions built outside :func:`session.get_spark` (a host
+    harness's own SparkSession) have neither a checkpoint dir nor
+    ``cleanCheckpoints=true`` — and that conf is session-BUILD-time,
+    so it cannot be enabled here. Reliable-checkpointing such a
+    session would leak every checkpoint file forever (a silent tmpfs
+    fill in long-lived processes) and, on a cluster, write to a
+    node-local default dir that other executors cannot read — the
+    opposite of recoverable. Those sessions therefore fall back to
+    ``localCheckpoint`` (the pre-round-4 behavior: correct, GC-
+    cleaned, just not executor-loss-recoverable); the recoverable
+    path is a property of the production session factory."""
     import os
 
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    cleaned = (
+        spark.conf.get(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+        ).lower()
+        == "true"
+    )
+    if not cleaned:
+        return df.localCheckpoint(eager=True)
+    sc = spark.sparkContext
     if sc._jsc.sc().getCheckpointDir().isEmpty():
         sc.setCheckpointDir(
             os.environ.get("SPARK_CHECKPOINT_DIR", "/dev/shm/spark-checkpoints")

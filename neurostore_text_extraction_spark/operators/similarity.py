@@ -224,22 +224,27 @@ def _assign_via_join(
         [([(i, [float(x) for x in c]) for i, c in enumerate(centroids)],)],
         "_cents array<struct<_cid: int, _cvec: array<double>>>",
     )
-    init = F.struct(
-        F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("i")
+    # transform → filter-null → array_min: ONE distance evaluation per
+    # centroid (a when/otherwise fold evaluated d2 twice — once in the
+    # predicate, once in the struct — and HOF lambdas get no common-
+    # subexpression elimination), lexicographic struct min = lowest d2
+    # then lowest list id, exactly the literal path's tie-break. Null
+    # distances (NULL vector, or dim mismatch padding nulls through
+    # zip_with) are filtered, so an all-null row yields an empty array
+    # and array_min → NULL _list — matching the literal path's NULL,
+    # not a phantom -1 cluster.
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            _d2_col(F.col(vec_col), c["_cvec"]).alias("d"),
+            c["_cid"].alias("i"),
+        ),
     )
-
-    def step(acc, cent):
-        d2 = _d2_col(F.col(vec_col), cent["_cvec"])
-        return F.when(
-            d2 < acc["d"],
-            F.struct(d2.alias("d"), cent["_cid"].alias("i")),
-        ).otherwise(acc)
-
+    best = F.array_min(F.filter(scored, lambda s: s["d"].isNotNull()))
     return (
         vectors.crossJoin(F.broadcast(cents_row))
-        .withColumn("_b", F.aggregate(F.col("_cents"), init, step))
-        .withColumn("_list", F.col("_b")["i"])
-        .drop("_cents", "_b")
+        .withColumn("_list", best["i"])
+        .drop("_cents")
     )
 
 
@@ -278,12 +283,14 @@ def ivf_build(
 
     ``method``: ``'literal'`` embeds each centroid as plan literals —
     a shuffle-free codegen'd fold per centroid, right for small k.
-    ``'join'`` (the large-k path) broadcasts the centroid FRAME and
-    argmins via map-side-combinable groupBy — plan size O(1) in k
-    (:func:`_assign_via_join`). ``'auto'`` picks by
+    ``'join'`` (the large-k path) ships the centroid table as ONE
+    broadcast row holding an array column and argmins per corpus row
+    with higher-order functions — plan size O(1) in k, zero shuffle,
+    zero aggregation (:func:`_assign_via_join`). ``'auto'`` picks by
     ``n_centroids * dim`` vs :data:`IVF_LITERAL_MAX_NODES`. Both
     produce identical assignments (same distances, same lowest-id
-    tie-break; pytest-asserted)."""
+    tie-break, NULL list for NULL/mismatched vectors;
+    pytest-asserted)."""
     centroids = [
         list(r[vec_col])
         for r in vectors.select(vec_col).orderBy(F.col(id_col)).limit(n_centroids).collect()

@@ -86,8 +86,10 @@ def prepare_training_corpus(
 ) -> PrepResult:
     """See module docstring. Stage order (first failure wins):
     ``null_text`` → ``c4_filter`` → ``gopher_filter`` →
-    ``quality_clf`` (only when a ``quality_model`` with a
-    ``score_col()`` — see ``operators/quality_classifier`` — is
+    ``gopher_repetition`` (only with ``gopher_repetition=True``:
+    Gopher §A1.1 dup-line / top-word thresholds as a pure column
+    predicate) → ``quality_clf`` (only when a ``quality_model`` with
+    a ``score_col()`` — see ``operators/quality_classifier`` — is
     passed; docs scoring below ``min_clf_score`` drop) → ``exact_dup``
     → ``near_dup`` → ``substr_dup``. Line dedup and PII scrubbing are
     *transformations* of surviving text, not drop reasons.

@@ -29,7 +29,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.webtext import sample_by_hash, url_quality_filter
+from ..operators.webtext import (
+    URL_BANNED_WORDS,
+    sample_by_hash,
+    url_quality_filter,
+)
 from .dedup import dedup_stream
 from .quality import quality_filter
 
@@ -38,6 +42,8 @@ def prep_stream(
     pages: DataFrame,
     text_col: str = "text",
     url_blocked_domains=None,
+    url_banned_words: tuple = URL_BANNED_WORDS,
+    url_max_word_hits: int = 0,
     require_c4: bool = True,
     require_gopher: bool = True,
     quality_model=None,
@@ -60,11 +66,29 @@ def prep_stream(
     if url_blocked_domains is not None:
         # cheapest gate first: URL-level triage is a pure narrow map
         # (or broadcast-set UDF) over the url alone — blocked pages
-        # never even reach the text-quality expressions
+        # never even reach the text-quality expressions. The word
+        # filter is configurable (url_banned_words=() disables it;
+        # url_max_word_hits loosens it) — opting into domain blocking
+        # must not silently force an unrelated substring filter at
+        # someone else's thresholds.
+        triage_cols = ("domain", "n_banned_hits", "blocked_domain", "keep_url")
+        clash = [c for c in triage_cols if c in pages.columns]
+        if clash:
+            # url_quality_filter would overwrite these and the drop
+            # below would delete the caller's data — refuse loudly
+            raise ValueError(
+                f"prep_stream URL triage writes columns {triage_cols}; "
+                f"input already carries {clash} — rename them upstream"
+            )
         pages = (
-            url_quality_filter(pages, blocked_domains=url_blocked_domains)
+            url_quality_filter(
+                pages,
+                blocked_domains=url_blocked_domains,
+                banned_words=url_banned_words,
+                max_word_hits=url_max_word_hits,
+            )
             .where(F.col("keep_url"))
-            .drop("domain", "n_banned_hits", "blocked_domain", "keep_url")
+            .drop(*triage_cols)
         )
     gated = quality_filter(
         pages,

@@ -519,3 +519,23 @@ def test_ivf_indexed_empty_store_returns_empty(spark, tmp_path):
     got = similarity.ivf_topk_indexed(spark, path, cents, queries, k=3, nprobe=1)
     assert got.count() == 0
     assert set(got.columns) == {"query_id", "vec_id", "cosine", "rank"}
+
+
+def test_ivf_join_path_null_vector_matches_literal(spark):
+    """NULL/mismatched vectors must get a NULL list id on BOTH paths —
+    the fold path briefly returned a phantom -1 cluster (round-4
+    review regression)."""
+    from neurostore_text_extraction_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    join_rows = {
+        r["vec_id"]: r["_list"]
+        for r in similarity._assign_via_join(vecs, cents, "embedding").collect()
+    }
+    assert join_rows[1] == 0
+    assert join_rows[2] is None
+    assert join_rows[3] is None  # dim mismatch nulls the distance

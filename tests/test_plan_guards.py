@@ -48,11 +48,10 @@ LAZY_QUERIES = [
 ]
 
 # lazy queries that legitimately cross into Python (Arrow-batched):
-# F1/F2 ride pandas UDFs by design (capwords / Schwartz–Hearst
-# reference parity); nested_postprocess's ctx variant carries one
 # textnorm_abbrev rides pandas UDFs by design (capwords /
-# Schwartz–Hearst reference parity); url_quality_filter's list path
-# (the one registered) is pure expressions
+# Schwartz–Hearst reference parity), as does nested_postprocess's ctx
+# variant; url_quality_filter's list path (the registered one) is
+# pure expressions
 PYTHON_OK = {"nested_postprocess", "textnorm_abbrev"}
 
 # word_deviance broadcasts its 1-ROW global mean with a cross join —
