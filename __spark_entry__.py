@@ -1554,7 +1554,7 @@ def oracle_sql() -> dict[str, str]:
                    abs(word_count - mean_wc)::BIGINT AS word_deviance
             FROM wc, m
         """,
-        "line_dedup": """
+        "line_dedup": r"""
             WITH d AS (
               SELECT doc_id,
                      'SHARED NAV HEADER' || chr(10) ||

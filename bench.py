@@ -84,6 +84,7 @@ def main() -> None:
             F.col("error").isNull() & (F.length("text") > 0)
         ).count()
         walls.append(time.perf_counter() - t0)
+    walls_by_rep = list(walls)  # pre-sort order, for per-pass totals
     walls.sort()
     t_extract = walls[0]
     timings["extract_pipeline"] = round(t_extract, 3)
@@ -170,11 +171,25 @@ def main() -> None:
         medians[name] = round(qw[(len(qw) - 1) // 2], 3)
 
     total = round(sum(timings.values()), 3)
+    # Achievable end-to-end figure (ADVICE r4): `value` sums per-query
+    # minima taken ACROSS interleaved passes — a composite no single
+    # run achieves. best_single_pass_sec is the best total any one
+    # complete pass actually measured (its extraction rep + its query
+    # sweep), i.e. a wall time a user could reproduce in one go.
+    pass_totals = [
+        walls_by_rep[min(p, len(walls_by_rep) - 1)]
+        + sum(q_walls[name][p] for name in bench_queries)
+        for p in range(passes_run)
+        if all(len(q_walls[name]) > p for name in bench_queries)
+    ]
+    best_pass = round(min(pass_totals), 3) if pass_totals else total
     print(
         json.dumps(
             {
                 "metric": "headline workload wall time (extraction pipeline + operator queries)",
                 "value": total,
+                "value_kind": "sum_of_per_query_min_across_passes",
+                "best_single_pass_sec": best_pass,
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,

@@ -546,8 +546,15 @@ def extract_html(
         # blocks are excluded so a dense bibliography cannot outscore
         # the article body and flip the winning subtree (it did, when
         # refs entered `content` — the ScienceDirect fixture's body
-        # halved). They rejoin at the keep stage below.
-        content = [b for b in blocks if not _classify_boilerplate(b, stopwords)]
+        # halved). ALL reference blocks are excluded here — link-dense
+        # ones fell to _classify_boilerplate anyway, but a long-text
+        # low-link-density bibliography must not enter scoring either
+        # (ADVICE r4). They rejoin at the keep stage below.
+        content = [
+            b
+            for b in blocks
+            if not _classify_boilerplate(b, stopwords) and not is_ref(b)
+        ]
         candidate = _score_candidates(content, stopwords)
         organic = {id(b) for b in content}
         if candidate is not None:

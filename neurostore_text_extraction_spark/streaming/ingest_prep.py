@@ -42,7 +42,7 @@ def prep_stream(
     pages: DataFrame,
     text_col: str = "text",
     url_blocked_domains=None,
-    url_banned_words: tuple = URL_BANNED_WORDS,
+    url_banned_words: tuple | None = None,
     url_max_word_hits: int = 0,
     require_c4: bool = True,
     require_gopher: bool = True,
@@ -63,14 +63,19 @@ def prep_stream(
     keeps batch-side dropDuplicates deterministic — the key then
     includes the content hash, so 'first wins' cannot pick different
     survivors across runs for byte-identical dups)."""
-    if url_blocked_domains is not None:
+    # Triage runs when ANY of its knobs is active (ADVICE r4): a
+    # domain blocklist OR an explicit banned-word list — a caller
+    # enabling only the word filter must get URL filtering, not a
+    # silent no-op. url_banned_words=None means "defaults, but only
+    # if triage is otherwise on" (opting into domain blocking must not
+    # silently force an unrelated substring filter is preserved by the
+    # explicit-opt-in shape: pass url_banned_words=() to disable words
+    # while domain-blocking, or a tuple to word-filter alone).
+    triage_active = url_blocked_domains is not None or url_banned_words is not None
+    if triage_active:
         # cheapest gate first: URL-level triage is a pure narrow map
         # (or broadcast-set UDF) over the url alone — blocked pages
-        # never even reach the text-quality expressions. The word
-        # filter is configurable (url_banned_words=() disables it;
-        # url_max_word_hits loosens it) — opting into domain blocking
-        # must not silently force an unrelated substring filter at
-        # someone else's thresholds.
+        # never even reach the text-quality expressions.
         triage_cols = ("domain", "n_banned_hits", "blocked_domain", "keep_url")
         clash = [c for c in triage_cols if c in pages.columns]
         if clash:
@@ -84,7 +89,9 @@ def prep_stream(
             url_quality_filter(
                 pages,
                 blocked_domains=url_blocked_domains,
-                banned_words=url_banned_words,
+                banned_words=(
+                    URL_BANNED_WORDS if url_banned_words is None else url_banned_words
+                ),
                 max_word_hits=url_max_word_hits,
             )
             .where(F.col("keep_url"))

@@ -181,3 +181,25 @@ def test_url_triage_runs_first_on_stream_and_batch(spark, tmp_path):
         (r["url"], r["text"]) for r in spark.table("prep_url_out").collect()
     }
     assert streamed == batch
+
+
+def test_prep_stream_word_only_triage_active(spark):
+    """ADVICE r4: enabling ONLY the url word filter (no domain
+    blocklist) must still run URL triage — it must not be silently
+    skipped just because blocked_domains is None."""
+    from pyspark.sql import functions as F
+
+    good = "This is a perfectly normal english sentence that repeats nothing. " * 8
+    docs = spark.createDataFrame(
+        [
+            ("https://good.example/a", good + "A."),
+            ("https://spam.example/casino/bonus", good + "B."),
+        ],
+        "url string, text string",
+    ).withColumn("warc_ts", F.timestamp_seconds(F.lit(1700000000)))
+    out = prep_stream(docs, url_banned_words=("casino",))
+    urls = sorted(r["url"] for r in out.select("url").collect())
+    assert urls == ["https://good.example/a"]
+    # and the no-knob default remains triage-free (both rows survive)
+    out2 = prep_stream(docs)
+    assert out2.count() == 2

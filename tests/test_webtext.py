@@ -266,3 +266,59 @@ def test_url_quality_filter_is_narrow(spark):
             .toString()
         )
         assert "Exchange" not in plan, plan
+
+
+def test_url_quality_filter_join_strategy_agrees_and_is_jvm_only(spark):
+    """strategy='join' (UT1-scale blocklists, VERDICT r4 #4): the
+    chained broadcast-suffix-join path must block identically to the
+    broadcast-frozenset path — duplicates in the blocklist must not
+    duplicate corpus rows — and its plan must contain NO Python stage
+    and NO corpus shuffle (the broadcast exchange is the blocklist's,
+    reused across suffix levels)."""
+    from neurostore_text_extraction_spark.operators.webtext import (
+        url_quality_filter,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://evil.example/home"),
+            (2, "https://ads.sub.evil.example/track"),  # depth-2 subdomain
+            (3, "https://good.example/article"),
+            (4, "https://notevil.example/x"),
+            (5, "https://a.b.c.d.e.f.g.evil.example/deep"),  # deep chain
+            (6, None),
+        ],
+        "doc_id long, url string",
+    )
+    # duplicate + empty entries exercise the dedup/clean of the list
+    bl = spark.createDataFrame(
+        [("evil.example",), ("EVIL.example",), ("",), (None,)],
+        "domain string",
+    )
+    j = url_quality_filter(urls, blocked_domains=bl, strategy="join")
+    s = url_quality_filter(urls, blocked_domains=bl, strategy="set")
+
+    def snap(df):
+        return sorted(
+            (r["doc_id"], bool(r["blocked_domain"]), bool(r["keep_url"]))
+            for r in df.collect()
+        )
+
+    assert snap(j) == snap(s)
+    assert dict((d, b) for d, b, _ in snap(j))[2] is True
+    assert dict((d, b) for d, b, _ in snap(j))[5] is True
+    assert j.count() == urls.count()  # no join fan-out from dup entries
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the only hash exchanges allowed are the BLOCKLIST's (its dedup
+    # shuffles on _bl_dom, bounded by list size); the corpus itself
+    # never shuffles
+    import re as _re
+
+    corpus_shuffles = [
+        m
+        for m in _re.findall(r"Exchange hashpartitioning\([^)]*", plan)
+        if "_bl_dom" not in m
+    ]
+    assert not corpus_shuffles, plan
