@@ -1061,15 +1061,59 @@ def _q_hash_embedding(spark, sf):
 
 
 def _q_blob_metadata(spark, sf):
-    """Multimodal binary-column metadata pass (sniff/size/sha256)."""
-    from neurostore_text_extraction_spark.operators.multimodal import blob_metadata
+    """Multimodal binary columns, both layers in one grain (r5): the
+    byte-level metadata pass (sniff/size/sha256) over the raw text
+    blob, PLUS real pixel-derived fields from the from-scratch PNG
+    codec — each doc's first 64 utf-8 bytes (zero-padded) become an
+    8x8 gray image, encoded to PNG in the UDF, then decoded by
+    ``image_stats`` (zlib inflate + unfiltering) back to pixels whose
+    sum and aHash the DuckDB oracle recomputes independently from the
+    same bytes. Exercises encode -> sniff -> decode -> hash end to
+    end inside a green row."""
+    from neurostore_text_extraction_spark.operators.multimodal import (
+        blob_metadata,
+        image_stats,
+    )
 
     docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
     blobs = docs.select(
         F.col("doc_id").cast("string").alias("blob_id"),
-        F.encode("text", "utf-8").alias("blob"),
+        F.encode("text", "utf-8").alias("raw"),
     )
-    return blob_metadata(blobs).select("blob_id", "media_type", "n_bytes", "sha256")
+    meta = blob_metadata(blobs, blob_col="raw").select(
+        "blob_id", "media_type", "n_bytes", "sha256"
+    )
+
+    def _to_png(batches):
+        import numpy as np
+        import pandas as pd
+
+        from neurostore_text_extraction_spark.functions.image_codec import (
+            encode_png,
+        )
+
+        for pdf in batches:
+            pngs = [
+                encode_png(
+                    np.frombuffer(
+                        bytes(r)[:64].ljust(64, b"\0"), np.uint8
+                    ).reshape(8, 8, 1)
+                )
+                for r in pdf["raw"]
+            ]
+            yield pd.DataFrame({"blob_id": pdf["blob_id"], "blob": pngs})
+
+    pngs = blobs.mapInPandas(_to_png, "blob_id string, blob binary")
+    px = image_stats(pngs).select(
+        "blob_id",
+        F.col("media_type").alias("png_type"),
+        "width",
+        "height",
+        "channels",
+        "px_sum",
+        "ahash",
+    )
+    return meta.join(px, "blob_id")
 
 
 
@@ -2532,11 +2576,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms n ON n.doc_id = dims.doc_id
         """,
         "blob_metadata": """
-            SELECT CAST(doc_id AS VARCHAR) AS blob_id,
+            -- byte-level metadata over the raw text blob + pixel
+            -- fields recomputed INDEPENDENTLY of the PNG codec: the
+            -- 8x8 gray image is the first 64 utf-8 bytes zero-padded,
+            -- so px_sum = sum of those bytes and aHash bit i is set
+            -- iff 64*byte_i > px_sum (strict mean comparison, exact
+            -- in integers). Bit 63 wraps to the sign bit via HUGEINT.
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS blob_id, text,
+                     hex(encode(text)) AS hx
+              FROM documents WHERE text IS NOT NULL
+            ),
+            b AS (
+              SELECT blob_id, i,
+                CASE WHEN 2*i+2 <= length(hx)
+                  THEN 16*(strpos('0123456789ABCDEF', substring(hx, 2*i+1, 1))-1)
+                     + (strpos('0123456789ABCDEF', substring(hx, 2*i+2, 1))-1)
+                  ELSE 0 END AS v
+              FROM d, unnest(generate_series(0, 63)) AS t(i)
+            ),
+            s AS (SELECT blob_id, SUM(v)::BIGINT AS px_sum FROM b GROUP BY blob_id),
+            ah AS (
+              SELECT b.blob_id,
+                SUM(CASE WHEN 64*v > s.px_sum
+                    THEN (CAST(1 AS HUGEINT) << i) ELSE 0 END) AS ahu
+              FROM b JOIN s USING (blob_id) GROUP BY b.blob_id
+            )
+            SELECT d.blob_id,
                    'application/octet-stream' AS media_type,
                    octet_length(encode(text))::BIGINT AS n_bytes,
-                   sha256(text) AS sha256
-            FROM documents WHERE text IS NOT NULL
+                   sha256(text) AS sha256,
+                   'image/png' AS png_type,
+                   8::INT AS width, 8::INT AS height, 1::INT AS channels,
+                   s.px_sum,
+                   (CASE WHEN ah.ahu >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN ah.ahu - CAST(18446744073709551616 AS HUGEINT)
+                         ELSE ah.ahu END)::BIGINT AS ahash
+            FROM d JOIN s USING (blob_id) JOIN ah ON ah.blob_id = d.blob_id
         """,
         "domain_stats": """
             WITH u AS (

@@ -479,16 +479,18 @@ def simhash(
     return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
+def hamming_pairs(
+    sig: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    sig_col: str = "simhash",
     n_bits: int = SIMHASH_BITS,
     n_blocks: int = 4,
     max_hamming: int = 3,
     eager: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+    """Pairs within Hamming distance <= ``max_hamming`` over ANY
+    integer signature column (SimHash over text, aHash/dHash over
+    pixels — the pigeonhole machinery is signature-agnostic).
 
     Pigeonhole block join: split the signature into n_blocks bit
     blocks; any pair within Hamming distance < n_blocks must share at
@@ -496,25 +498,19 @@ def simhash_pairs(
     (block_idx, block_value) instead of an all-pairs scan. Exact
     Hamming distance (bit_count of xor) re-ranks candidates.
     Requires max_hamming < n_blocks for zero false negatives.
-
-    ``eager=True`` stays the default here: unlike the fat minhash
-    signature frame, the persisted block frame is 4 narrow int rows
-    per doc, and the A/B (local[32] sf0.1, 5 reps each,
-    ``BENCH/AB_MINHASH.md``) measured eager steadily FASTER
-    (1.8-2.4s vs 2.8-3.3s lazy) with none of the minhash-style
-    stalls."""
-    sig = simhash(df, id_col, text_col, n_bits)
+    ``shiftrightunsigned`` keeps the top block correct for full-width
+    64-bit signatures (bit 63 set → negative long)."""
     block_bits = n_bits // n_blocks
     mask = (1 << block_bits) - 1
     blocks = sig.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("block_idx"),
-                        F.shiftright(F.col("simhash"), b * block_bits)
+                        F.shiftrightunsigned(F.col(sig_col), b * block_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("block_val"),
                     )
@@ -522,15 +518,15 @@ def simhash_pairs(
                 ]
             )
         ).alias("blk"),
-    ).select(id_col, "simhash", "blk.block_idx", "blk.block_val")
+    ).select(id_col, "_sig", "blk.block_idx", "blk.block_val")
     if eager:
         blocks = blocks.persist()
     a = blocks.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"),
+        F.col(id_col).alias("doc_a"), F.col("_sig").alias("_ha"),
         "block_idx", "block_val",
     )
     b = blocks.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"),
+        F.col(id_col).alias("doc_b"), F.col("_sig").alias("_hb"),
         "block_idx", "block_val",
     )
     hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
@@ -545,6 +541,36 @@ def simhash_pairs(
         result = _materialize(result)
         blocks.unpersist()
     return result
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = SIMHASH_BITS,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+    eager: bool = True,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming —
+    :func:`simhash` signatures through the generic
+    :func:`hamming_pairs` pigeonhole join.
+
+    ``eager=True`` stays the default here: unlike the fat minhash
+    signature frame, the persisted block frame is 4 narrow int rows
+    per doc, and the A/B (local[32] sf0.1, 5 reps each,
+    ``BENCH/AB_MINHASH.md``) measured eager steadily FASTER
+    (1.8-2.4s vs 2.8-3.3s lazy) with none of the minhash-style
+    stalls."""
+    return hamming_pairs(
+        simhash(df, id_col, text_col, n_bits),
+        id_col=id_col,
+        sig_col="simhash",
+        n_bits=n_bits,
+        n_blocks=n_blocks,
+        max_hamming=max_hamming,
+        eager=eager,
+    )
 
 
 def ngram_jaccard_pairs(

@@ -208,11 +208,20 @@ def test_extract_features_fake_decode(spark):
     assert abs(row.features[0] - 0x10 / 255.0) < 1e-6
 
 
-def test_decode_stub_raises_without_fake():
+def test_decode_blob_jpeg_raises_png_decodes():
     import pytest
 
+    # jpeg stays honestly unimplemented (DCT is out of from-scratch scope)
     with pytest.raises(NotImplementedError):
-        MM._decode_stub(b"\x89PNG", "image/png", fake=False)
+        MM.decode_blob(b"\xff\xd8\xff rest", "image/jpeg", fake=False)
+    # png decodes for REAL via the from-scratch codec
+    import numpy as np
+
+    from neurostore_text_extraction_spark.functions.image_codec import encode_png
+
+    arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    out = MM.decode_blob(encode_png(arr), "image/png", fake=False)
+    assert (out == arr).all()
 
 
 def test_streaming_ingest(spark, tmp_path):

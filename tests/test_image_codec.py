@@ -1,0 +1,243 @@
+"""From-scratch image codecs (PNG/BMP/GIF) + pixel-derived Spark
+operators (image_stats, perceptual_hash_pairs). VERDICT r4 #1/#2:
+deterministic synthetic fixtures round-trip pixel-exact; planted
+near-identical images pair under Hamming LSH, distinct ones don't;
+everything is partitioning-invariant."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from neurostore_text_extraction_spark.functions.image_codec import (
+    ImageDecodeError,
+    ahash64,
+    box_downsample,
+    decode_bmp,
+    decode_gif,
+    decode_image,
+    decode_png,
+    dhash64,
+    encode_bmp,
+    encode_gif,
+    encode_png,
+    to_gray,
+)
+from neurostore_text_extraction_spark.operators import multimodal as MM
+
+RNG = np.random.RandomState(1234)
+
+
+def _img(h, w, ch):
+    return RNG.randint(0, 256, (h, w, ch), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------- pure codecs
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4, "mixed"])
+def test_png_roundtrip_pixel_exact(ch, ftype):
+    arr = _img(13, 7, ch)
+    assert (decode_png(encode_png(arr, ftype)) == arr).all()
+
+
+def test_png_palette_decode():
+    import struct
+    import zlib
+
+    from neurostore_text_extraction_spark.functions.image_codec import (
+        _PNG_SIG,
+        _png_chunk,
+    )
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 8, 7]], np.uint8)
+    idx = RNG.randint(0, 4, (5, 6), dtype=np.uint8)
+    rows = b"".join(b"\x00" + idx[y].tobytes() for y in range(5))
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(rows))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == pal[idx]).all()
+
+
+def test_png_rejects_bad_crc_and_interlace():
+    arr = _img(4, 4, 3)
+    good = bytearray(encode_png(arr))
+    good[40] ^= 0xFF  # flip a byte inside IDAT → crc mismatch
+    with pytest.raises(ImageDecodeError):
+        decode_png(bytes(good))
+    inter = bytearray(encode_png(arr))
+    inter[28] = 1  # IHDR interlace flag — also breaks crc, either way raises
+    with pytest.raises(ImageDecodeError):
+        decode_png(bytes(inter))
+
+
+def test_bmp_roundtrip_and_padding():
+    for w in (5, 6, 7, 8):  # exercises 4-byte row padding
+        arr = _img(9, w, 3)
+        assert (decode_bmp(encode_bmp(arr)) == arr).all()
+
+
+def test_bmp_8bit_palette_and_topdown():
+    import struct
+
+    pal = np.zeros((256, 4), np.uint8)
+    pal[:4] = [[10, 20, 30, 0], [40, 50, 60, 0], [1, 2, 3, 0], [200, 100, 0, 0]]
+    idx = RNG.randint(0, 4, (3, 5), dtype=np.uint8)
+    stride = (5 + 3) & ~3
+    body = b"".join(idx[y].tobytes() + b"\0" * (stride - 5) for y in range(3))
+    px_off = 14 + 40 + 256 * 4
+    data = (
+        b"BM"
+        + struct.pack("<IHHI", px_off + len(body), 0, 0, px_off)
+        + struct.pack("<IiiHHIIiiII", 40, 5, -3, 1, 8, 0, len(body), 0, 0, 256, 0)
+        + pal.tobytes()
+        + body
+    )
+    out = decode_bmp(data)  # negative height → top-down, no flip
+    expect = pal[idx][:, :, [2, 1, 0]]  # stored BGRA → RGB
+    assert (out == expect).all()
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("shape", [(7, 9), (40, 33)])
+def test_gif_roundtrip(shape, interlace):
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 7, 7]], np.uint8)
+    idx = RNG.randint(0, 4, shape, dtype=np.uint8)
+    assert (decode_gif(encode_gif(idx, pal, interlace=interlace)) == pal[idx]).all()
+
+
+def test_decode_image_dispatch_and_errors():
+    arr = _img(8, 8, 3)
+    assert (decode_image(encode_png(arr)) == arr).all()
+    assert (decode_image(encode_bmp(arr)) == arr).all()
+    for bad in (b"", b"nonsense", b"GIF89a", b"BMshort", b"\x89PNG\r\n\x1a\nxx"):
+        with pytest.raises(ImageDecodeError):
+            decode_image(bad)
+
+
+def test_perceptual_hashes_invariance_properties():
+    arr = _img(32, 32, 3)
+    # brightness shift: aHash is mean-relative → identical signature
+    bright = np.clip(arr.astype(int) + 12, 0, 255).astype(np.uint8)
+    assert ahash64(arr) == ahash64(bright)
+    assert dhash64(arr) == dhash64(bright)
+    # unrelated image: far in Hamming space
+    other = RNG.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    ham = bin((ahash64(arr) ^ ahash64(other)) & (2**64 - 1)).count("1")
+    assert ham > 10
+    # resize (2x nearest upsample): block means are arithmetically
+    # equal, but float summation ORDER differs — near-mean boundary
+    # bits may flip, so assert near-zero Hamming, not equality
+    up = np.repeat(np.repeat(arr, 2, axis=0), 2, axis=1)
+    assert bin((ahash64(arr) ^ ahash64(up)) & (2**64 - 1)).count("1") <= 2
+    # dhash's 9-wide bins don't align across 32px vs 64px (9 ∤ 32) —
+    # block contents genuinely differ a little; near, not equal
+    assert bin((dhash64(arr) ^ dhash64(up)) & (2**64 - 1)).count("1") <= 6
+
+
+def test_box_downsample_mixed_axes():
+    g = np.arange(12, dtype=float).reshape(3, 4)
+    u = box_downsample(g, 6, 2)  # upsample rows, downsample cols
+    assert u.shape == (6, 2)
+    # row bins [0,0,1,1,2,2] nearest; col bins mean pairs
+    assert u[0, 0] == pytest.approx((0 + 1) / 2)
+    assert u[1, 0] == pytest.approx((0 + 1) / 2)
+    assert u[5, 1] == pytest.approx((10 + 11) / 2)
+    assert to_gray(np.full((2, 2), 7, np.uint8))[0, 0] == 7.0
+
+
+# ---------------------------------------------------------------- spark side
+
+
+def _blob_frame(spark, items):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"blob_id": [k for k, _ in items], "blob": [v for _, v in items]}
+        ),
+        "blob_id string, blob binary",
+    )
+
+
+def test_image_stats_real_pixels(spark):
+    arr = _img(6, 5, 3)
+    gray = _img(4, 4, 1)
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    gif_idx = RNG.randint(0, 2, (3, 3), dtype=np.uint8)
+    blobs = _blob_frame(
+        spark,
+        [
+            ("png", encode_png(arr)),
+            ("gray", encode_png(gray)),
+            ("bmp", encode_bmp(arr)),
+            ("gif", encode_gif(gif_idx, pal)),
+            ("jpeg", b"\xff\xd8\xffJFIFrest"),
+            ("junk", b"\x89PNG\r\n\x1a\ntruncated"),
+            ("nul", None),
+        ],
+    )
+    rows = {r["blob_id"]: r for r in MM.image_stats(blobs).collect()}
+    assert rows["png"].media_type == "image/png"
+    assert (rows["png"].width, rows["png"].height, rows["png"].channels) == (5, 6, 3)
+    assert rows["png"].px_sum == int(arr.astype(np.int64).sum())
+    assert rows["png"].decode_error is None
+    assert rows["png"].ahash == ahash64(arr)
+    assert rows["png"].dhash == dhash64(arr)
+    # same pixels through BMP → identical pixel stats and hashes
+    assert rows["bmp"].px_sum == rows["png"].px_sum
+    assert rows["bmp"].ahash == rows["png"].ahash
+    assert (rows["gray"].channels, rows["gray"].px_sum) == (
+        1,
+        int(gray.astype(np.int64).sum()),
+    )
+    assert rows["gif"].px_sum == int(pal[gif_idx].astype(np.int64).sum())
+    # honest non-decode paths: typed, tagged, never a job failure
+    assert rows["jpeg"].width is None and "jpeg" in rows["jpeg"].decode_error
+    assert rows["junk"].decode_error is not None
+    assert rows["nul"].decode_error == "null blob"
+
+
+def test_image_stats_partitioning_invariant(spark):
+    items = [(f"b{i}", encode_png(_img(8, 8, 3))) for i in range(24)]
+    a = MM.image_stats(_blob_frame(spark, items).repartition(2)).collect()
+    b = MM.image_stats(_blob_frame(spark, items).repartition(16)).collect()
+    key = lambda r: r["blob_id"]  # noqa: E731
+    assert sorted(map(tuple, a), key=str) == sorted(map(tuple, b), key=str)
+
+
+def test_perceptual_hash_pairs_planted_neardups(spark):
+    base = _img(32, 32, 3)
+    bright = np.clip(base.astype(int) + 10, 0, 255).astype(np.uint8)
+    # flip a tiny corner: a few aHash bits at most
+    tweak = base.copy()
+    tweak[:2, :2] = 255 - tweak[:2, :2]
+    items = [
+        ("a", encode_png(base)),
+        ("a_bright", encode_png(bright)),  # hamming 0 vs a
+        ("a_tweak", encode_png(tweak)),
+        ("far", encode_png(RNG.randint(0, 256, (32, 32, 3), dtype=np.uint8))),
+        ("bad", b"\xff\xd8\xffx"),  # undecodable: excluded, not fatal
+    ]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in MM.perceptual_hash_pairs(
+            _blob_frame(spark, items), max_hamming=3
+        ).collect()
+    }
+    assert pairs[("a", "a_bright")] == 0
+    assert ("a", "a_tweak") in pairs or ("a_tweak", "a_bright") in pairs
+    assert not any("far" in p or "bad" in p for p in pairs)
+
+
+def test_extract_features_real_decode(spark):
+    arr = _img(16, 16, 3)
+    blobs = _blob_frame(spark, [("img", encode_png(arr)), ("jpeg", b"\xff\xd8\xffx")])
+    rows = {r["blob_id"]: r for r in MM.extract_features(blobs, fake_decode=False).collect()}
+    expect = box_downsample(to_gray(arr), 4, 4).reshape(-1) / 255.0
+    assert np.allclose(rows["img"].features, expect)
+    assert rows["jpeg"].features is None  # fault-isolated, not fatal
