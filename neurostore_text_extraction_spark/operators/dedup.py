@@ -110,6 +110,9 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+_WARNED_LOCAL_FALLBACK = False
+
+
 def _materialize_recoverable(df: DataFrame) -> DataFrame:
     """Eagerly compute a CORPUS-SIZED result frame via RELIABLE
     checkpoint: the frame is written to the configured checkpoint
@@ -147,6 +150,27 @@ def _materialize_recoverable(df: DataFrame) -> DataFrame:
         == "true"
     )
     if not cleaned:
+        # LOUD degradation (VERDICT r4 #6): a production user driving
+        # corpus_prep through their own session silently got the r3
+        # failure mode back (unreplicated blocks, executor loss is
+        # fatal). Warn once per process, naming the confs to set.
+        global _WARNED_LOCAL_FALLBACK
+        if not _WARNED_LOCAL_FALLBACK:
+            _WARNED_LOCAL_FALLBACK = True
+            import warnings
+
+            warnings.warn(
+                "corpus-sized frame falling back to UNREPLICATED "
+                "localCheckpoint: this SparkSession was built without "
+                "spark.cleaner.referenceTracking.cleanCheckpoints=true, "
+                "so reliable checkpointing would leak checkpoint files. "
+                "A lost executor makes this frame unrecoverable. Build "
+                "the session with that conf set (session.get_spark does) "
+                "and point SPARK_CHECKPOINT_DIR / setCheckpointDir at "
+                "shared storage for executor-loss recovery.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         return df.localCheckpoint(eager=True)
     sc = spark.sparkContext
     if sc._jsc.sc().getCheckpointDir().isEmpty():

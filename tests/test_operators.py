@@ -181,6 +181,35 @@ def test_dedup_eager_unpersists_intermediates(spark):
     assert jcm.isEmpty()
 
 
+def test_materialize_recoverable_warns_once_on_bare_session(spark):
+    """VERDICT r4 #6: falling back to unreplicated localCheckpoint on a
+    session without cleanCheckpoints must warn LOUDLY (exactly once per
+    process), and must NOT warn on the production factory session."""
+    import warnings
+    from unittest import mock
+
+    df = _docs(spark, ["alpha beta", "gamma delta"])
+    # production session (get_spark sets cleanCheckpoints=true): silent
+    dedup._WARNED_LOCAL_FALLBACK = False
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        dedup._materialize_recoverable(df).collect()
+    assert not [w for w in rec if issubclass(w.category, RuntimeWarning)]
+    # bare session (conf absent): warn once, then stay quiet
+    with mock.patch.object(
+        type(spark.conf), "get", lambda self, k, d=None: "false"
+    ):
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            dedup._materialize_recoverable(df).collect()
+            dedup._materialize_recoverable(df).collect()
+    msgs = [w for w in rec if issubclass(w.category, RuntimeWarning)]
+    assert len(msgs) == 1
+    assert "cleanCheckpoints" in str(msgs[0].message)
+    assert "SPARK_CHECKPOINT_DIR" in str(msgs[0].message)
+    dedup._WARNED_LOCAL_FALLBACK = False
+
+
 def test_lsh_topk_multitable_superset_recall(spark):
     """Identical query vector must always retrieve itself at rank 1."""
     from neurostore_text_extraction_spark.operators import similarity
