@@ -45,11 +45,42 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cores) * 2, 8)
+    # $SPARK_GRAFT_MASTER overrides the auto local[N] master — the
+    # multi-executor evidence path. E.g. local-cluster[4,8,6144] spawns
+    # 4 real executor JVMs (8 cores / 6 GiB each), so broadcasts,
+    # shuffle blocks, and the Arrow UDF protocol cross true process
+    # boundaries exactly as on a standalone cluster, while the same
+    # tests/bench/oracle harnesses run unchanged.
+    env_master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master == "auto" and env_master:
+        master = env_master
     builder = SparkSession.builder
     if master == "auto":
         builder = builder.master(f"local[{cores}]")
     elif master is not None:
         builder = builder.master(master)
+        if master.startswith("local-cluster"):
+            # executor JVMs spawn Python workers from their own cwd —
+            # the package must be importable there (same effect as
+            # spark-submit --py-files, without zipping on every run)
+            repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            existing = os.environ.get("PYTHONPATH", "")
+            builder = builder.config(
+                "spark.executorEnv.PYTHONPATH",
+                f"{repo_root}:{existing}" if existing else repo_root,
+            )
+            # local-cluster[n,cores,mem]'s mem is WORKER capacity; the
+            # executor heap defaults to 1g regardless — size it to the
+            # worker slab so the bench runs with realistic executor
+            # memory instead of silently tiny heaps
+            try:
+                mem_mb = int(master.rstrip("]").split(",")[-1])
+                builder = builder.config(
+                    "spark.executor.memory",
+                    os.environ.get("SPARK_EXECUTOR_MEM", f"{mem_mb}m"),
+                )
+            except ValueError:
+                pass
     builder = (
         builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
