@@ -97,6 +97,11 @@ def _extract_batches(batches):
                 md5s.append(None)
                 nbytes.append(0)
                 continue
+            if isinstance(html, str):
+                # schema-violating caller (string column where the
+                # contract is binary): coerce instead of aborting the
+                # job — row-level fault isolation extends to this
+                html = html.encode("utf-8", errors="replace")
             nbytes.append(len(html))
             md5s.append(hashlib.md5(html).hexdigest())
             try:

@@ -9,6 +9,7 @@ has an exact DuckDB oracle twin.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .tfidf import tokens_col
@@ -39,6 +40,38 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     for lang in reversed(_LANG_ORDER):
         pred = F.when((hit_cols[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
     return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def lang_id_nb(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style broad language ID: 24-language char-ngram Naive
+    Bayes (``functions/langid.py``, committed deterministic model)
+    with a confidence column — the routing stage real pipelines put
+    before per-language quality filtering (Wenzek et al. 2020 §4.3).
+
+    Scale shape: one Arrow-batched pandas UDF; the ~1 MB model is a
+    module global loaded once per Python worker and reused across
+    batches (no broadcast traffic, no per-batch deserialization). The
+    narrow 4-language marker heuristic (``lang_id``) stays as the
+    zero-Python, SQL-twinnable fast path.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<lang_pred:string,lang_conf:double>")
+    def _detect(texts: pd.Series) -> pd.DataFrame:
+        from ..functions import langid
+
+        preds = langid.detect_many(texts.tolist())
+        return pd.DataFrame(
+            {
+                "lang_pred": [p[0] for p in preds],
+                "lang_conf": [round(p[1], 4) for p in preds],
+            }
+        )
+
+    out = df.select(F.col(id_col), _detect(F.col(text_col)).alias("_l"))
+    return out.select(id_col, "_l.lang_pred", "_l.lang_conf")
 
 
 def quality_features(

@@ -74,12 +74,24 @@ def get_spark(
             # worker slab so the bench runs with realistic executor
             # memory instead of silently tiny heaps
             try:
-                mem_mb = int(master.rstrip("]").split(",")[-1])
+                parts = master.rstrip("]").split("[")[1].split(",")
+                exec_cores = int(parts[1])
+                mem_mb = int(parts[2])
                 builder = builder.config(
                     "spark.executor.memory",
                     os.environ.get("SPARK_EXECUTOR_MEM", f"{mem_mb}m"),
                 )
-            except ValueError:
+                # each executor JVM must size its internal pools (GC,
+                # JIT, netty IO, ForkJoin) as the c-core node it
+                # emulates — availableProcessors() otherwise reports
+                # the whole machine, so n executors spawn n*(machine
+                # cores) GC/JIT threads and fight each other, a
+                # contention mode real cluster nodes don't have
+                builder = builder.config(
+                    "spark.executor.extraJavaOptions",
+                    f"-XX:ActiveProcessorCount={exec_cores}",
+                )
+            except (ValueError, IndexError):
                 pass
     builder = (
         builder.appName(app_name)
