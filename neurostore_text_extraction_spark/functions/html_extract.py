@@ -119,6 +119,11 @@ _NEGATIVE_HINTS = (
 _POSITIVE_HINTS = (
     "article", "content", "main", "body", "text", "post", "entry", "story",
     "abstract", "fulltext", "section", "chapter",
+    # scholarly back matter is article content, not chrome: footnote
+    # dls, appendices, acknowledgments and supplementary-data sections
+    # carry body-grade prose ("footnote" does NOT collide with the
+    # "footer" negative — different substring)
+    "footnote", "appendi", "acknowledg", "supplement",
 )
 
 # Compact English stopword list for stopword-density features (X2/X6).
@@ -464,14 +469,50 @@ def _score_candidates(blocks: list[_Block], stopwords: frozenset) -> _Node | Non
 
 def _keep_set(candidate: _Node) -> set[int]:
     """Readability sibling expansion: the candidate subtree plus any
-    sibling subtree scoring >= max(8, 20% of candidate)."""
+    sibling subtree scoring >= max(8, 20% of candidate).
+
+    Same-tag expansion for semantic containers: when the winning node
+    is a ``<section>``/``<article>``, sibling elements of the SAME tag
+    are part of the same article almost by HTML5 spec (PMC/Elsevier
+    render one ``<section>`` per article section), yet one-paragraph
+    tail sections — Conclusion, Conflict of interest, Acknowledgments
+    — score far below the 20% threshold and were dropped. Such
+    siblings are kept unless an explicitly negative class/id hint
+    (comment/promo/sidebar...) vetoes them; their blocks still pass
+    the per-block boilerplate classifier downstream."""
     keep = {id(candidate)}
     parent = candidate.parent
     if parent is not None:
         threshold = max(8.0, 0.2 * candidate.score)
         for sib in parent.children:
-            if isinstance(sib, _Node) and sib is not candidate and sib.score >= threshold:
+            if not isinstance(sib, _Node) or sib is candidate:
+                continue
+            if sib.score >= threshold or (
+                candidate.tag in ("section", "article")
+                and sib.tag == candidate.tag
+                and _hint_score(sib) >= 0
+            ):
                 keep.add(id(sib))
+    # Climb: back matter often hangs off an ANCESTOR of the winning
+    # node (PMC/Elsevier: article > div.body > div > sections, with
+    # acknowledgments / appendices / footnotes as siblings one or two
+    # levels up). At each of the next 2 ancestor levels keep siblings
+    # that are semantically article-shaped — same-tag <section>/
+    # <article>, or a positive content hint — never negative-hinted
+    # ones; per-block boilerplate classification still applies inside.
+    node = candidate
+    for _ in range(3):
+        parent = node.parent
+        if parent is None or parent.tag == "#root":
+            break
+        for sib in parent.children:
+            if not isinstance(sib, _Node) or sib is node:
+                continue
+            if _hint_score(sib) > 0 or (
+                sib.tag in ("section", "article") and _hint_score(sib) >= 0
+            ):
+                keep.add(id(sib))
+        node = parent
     return keep
 
 

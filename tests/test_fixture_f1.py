@@ -71,10 +71,21 @@ def test_ace_fullpage_token_f1(study):
     assert token_f1(expected, text) >= ACE_FULLPAGE_FLOOR
 
 
-# Ratchet (round 4): measured 0.9157 / 0.9019 on the two consistent
-# ace fixtures in default boilerplate-strip mode after the page-level
-# bibliography keep-rule (round 3 floors were 0.82 at 0.8274/0.8424).
-ACE_DEFAULT_FLOOR = 0.90
+# Ratchet (round 5): measured 0.9198 / 0.9300 on the two consistent
+# ace fixtures in default boilerplate-strip mode after same-tag
+# <section> sibling expansion + ancestor-level back-matter keeps
+# (acknowledgments / appendices / footnotes; round 4 floors were 0.90
+# at 0.9157/0.9019). NOTE a measured F1 CEILING < 0.95 exists for
+# 6nTazJPV7TRM: 941 of its 10036 expected tokens (Google Scholar /
+# PubMed anchor rows, PMC site chrome, 'Find articles by' strips) do
+# not appear in the committed source HTML at all — the processed
+# text.txt was rendered from a PMC page while source/ace/*.html is the
+# Elsevier rendering — capping attainable recall at 0.906 and F1 at
+# ~0.935 even for a perfect extractor (current recall 0.8951).
+# 6dYthnbocsU4's ceiling is similar in kind (801/14284 unreachable,
+# mostly ACE's no-space token concatenations like 'scholarclark',
+# 'cellempty'). See BENCH/FIXTURE_F1.md for the token-level evidence.
+ACE_DEFAULT_FLOOR = 0.91
 
 
 @pytest.mark.parametrize("study", ["6dYthnbocsU4", "6nTazJPV7TRM"])
