@@ -62,7 +62,18 @@ def train_bpe(texts, n_merges: int = 2000) -> list[tuple[bytes, bytes]]:
     Deterministic: pair selection is (max count, then lexicographically
     smallest pair). Runs driver-side over a corpus SAMPLE — the merges
     table is the model artifact (committed to the repo like the LM
-    count tables), training never touches the full corpus."""
+    count tables), training never touches the full corpus.
+
+    Incremental implementation (subword-nmt-style, Sennrich 2016
+    ``learn_bpe.py``'s big-corpus path): pair counts are maintained
+    under each merge by re-counting ONLY the words that contain the
+    merged pair (an inverted pair→words index), and the argmax is a
+    lazy max-heap keyed ``(-count, pair)`` — stale entries are popped
+    and dropped when their recorded count no longer matches. Output is
+    byte-identical to the naive rescan-everything loop (same counts,
+    same tie-break) at O(affected words) per merge instead of
+    O(vocabulary); 16k merges train in seconds, not hours."""
+    import heapq
     from collections import Counter
 
     word_counts: Counter = Counter()
@@ -70,29 +81,68 @@ def train_bpe(texts, n_merges: int = 2000) -> list[tuple[bytes, bytes]]:
         if not t:
             continue
         word_counts.update(pretokenize(t))
-    words: dict[tuple[bytes, ...], int] = {}
+    # one entry per distinct pre-token; duplicates fold into counts
+    syms: list[list[bytes]] = []
+    counts: list[int] = []
+    seen: dict[tuple[bytes, ...], int] = {}
     for w, c in word_counts.items():
         sym = _word_symbols(w)
-        if sym:
-            words[sym] = words.get(sym, 0) + c
+        if not sym:
+            continue
+        idx = seen.get(sym)
+        if idx is None:
+            seen[sym] = len(syms)
+            syms.append(list(sym))
+            counts.append(c)
+        else:
+            counts[idx] += c
+    del seen
+
+    pair_counts: dict[tuple[bytes, bytes], int] = {}
+    pair_where: dict[tuple[bytes, bytes], set[int]] = {}
+    for idx, sym in enumerate(syms):
+        c = counts[idx]
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_where.setdefault(p, set()).add(idx)
+
+    heap: list[tuple[int, tuple[bytes, bytes]]] = [
+        (-c, p) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+
+    def push(p: tuple[bytes, bytes]) -> None:
+        heapq.heappush(heap, (-pair_counts[p], p))
 
     merges: list[tuple[bytes, bytes]] = []
-    for _ in range(n_merges):
-        pair_counts: Counter = Counter()
-        for sym, c in words.items():
-            for i in range(len(sym) - 1):
-                pair_counts[(sym[i], sym[i + 1])] += c
-        if not pair_counts:
-            break
-        # deterministic argmax: count desc, pair asc
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pair_counts[best] < 2:
+    while len(merges) < n_merges and heap:
+        negc, best = heapq.heappop(heap)
+        cur = pair_counts.get(best, 0)
+        if -negc != cur or cur == 0:
+            continue  # stale heap entry
+        if cur < 2:
             break
         merges.append(best)
         merged = best[0] + best[1]
-        new_words: dict[tuple[bytes, ...], int] = {}
-        for sym, c in words.items():
-            out = []
+        touched: set[tuple[bytes, bytes]] = set()
+        for idx in list(pair_where.get(best, ())):
+            sym = syms[idx]
+            c = counts[idx]
+            # retract this word's old pair contributions
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                n = pair_counts[p] - c
+                if n:
+                    pair_counts[p] = n
+                else:
+                    del pair_counts[p]
+                w = pair_where.get(p)
+                if w is not None:
+                    w.discard(idx)
+                touched.add(p)
+            # apply the merge left-to-right (same as encode)
+            out: list[bytes] = []
             i = 0
             while i < len(sym):
                 if i + 1 < len(sym) and sym[i] == best[0] and sym[i + 1] == best[1]:
@@ -101,9 +151,17 @@ def train_bpe(texts, n_merges: int = 2000) -> list[tuple[bytes, bytes]]:
                 else:
                     out.append(sym[i])
                     i += 1
-            t = tuple(out)
-            new_words[t] = new_words.get(t, 0) + c
-        words = new_words
+            syms[idx] = out
+            # add the new contributions
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_where.setdefault(p, set()).add(idx)
+                touched.add(p)
+        pair_where.pop(best, None)
+        for p in touched:
+            if p in pair_counts:
+                push(p)
     return merges
 
 

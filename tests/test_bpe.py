@@ -32,7 +32,10 @@ def test_committed_merges_table_pinned():
     silent retrain (or resource-loading bug) fails loudly. Regenerate
     intentionally with scripts/train_bpe_merges.py."""
     enc = bpe.default_bpe()
-    assert len(enc.merges) == 2000
+    # round 5: retrained at a 16k target over documents + goldens +
+    # langid seeds; the committed corpus saturates at 9,575 merges
+    # (no pair occurs twice beyond that — see train_bpe_merges.py)
+    assert len(enc.merges) == 9575
     assert enc.merges[:3] == [(b"e", b"r"), (b" ", b"s"), (b"i", b"n")]
     assert enc.count("the scan filter") == 3
 
@@ -98,6 +101,25 @@ def test_pack_sequences_bpe_budget(spark):
         docs, max_tokens=budget, num_shards=1, token_counter="bpe"
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_defaults_to_bpe(spark):
+    """Round-5 contract: pack_sequences budgets by BPE tokens unless
+    the caller opts into the word counter (VERDICT r4 next-round #7)."""
+    from neurostore_text_extraction_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "scan filter join " * 4), (1, "zqxj vbnm " * 2)],
+        "doc_id long, text string",
+    )
+    default = pack_sequences(docs, max_tokens=64, num_shards=1).collect()
+    explicit = pack_sequences(
+        docs, max_tokens=64, num_shards=1, token_counter="bpe"
+    ).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, explicit))
+    enc = bpe.default_bpe()
+    got = {r["doc_id"]: r["n_tokens"] for r in default}
+    assert got == {0: enc.count("scan filter join " * 4), 1: enc.count("zqxj vbnm " * 2)}
 
 
 def test_chunk_text_bpe_budget():

@@ -98,7 +98,7 @@ def test_packing_matches_python_bfd_on_random_sizes(spark):
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = {
             r["doc_id"]: (int(r["seq_id"].split("-")[1]), r["pos"])
-            for r in pack_sequences(df, max_tokens=cap, num_shards=1).collect()
+            for r in pack_sequences(df, max_tokens=cap, num_shards=1, token_counter="words").collect()
         }
         assert got == _py_bfd(sizes, cap), f"trial {trial} cap {cap}"
 

@@ -18,7 +18,7 @@ def _docs(spark, sizes):
 
 def test_every_doc_assigned_once_and_budget_held(spark):
     df = _docs(spark, [10, 20, 30, 40, 50, 60, 5, 15, 25, 35])
-    out = pack_sequences(df, max_tokens=64, num_shards=2).collect()
+    out = pack_sequences(df, max_tokens=64, num_shards=2, token_counter="words").collect()
     assert sorted(r["doc_id"] for r in out) == list(range(10))
     sums = {}
     for r in out:
@@ -28,7 +28,7 @@ def test_every_doc_assigned_once_and_budget_held(spark):
 
 def test_oversize_doc_gets_own_sequence(spark):
     df = _docs(spark, [100, 10, 10])
-    out = pack_sequences(df, max_tokens=64, num_shards=1).collect()
+    out = pack_sequences(df, max_tokens=64, num_shards=1, token_counter="words").collect()
     by_seq = {}
     for r in out:
         by_seq.setdefault(r["seq_id"], []).append(r["doc_id"])
@@ -40,21 +40,21 @@ def test_oversize_doc_gets_own_sequence(spark):
 
 def test_deterministic_across_input_partitionings(spark):
     df = _docs(spark, [7, 13, 21, 9, 30, 18, 4, 26])
-    a = pack_sequences(df, max_tokens=40, num_shards=2).collect()
-    b = pack_sequences(df.repartition(7), max_tokens=40, num_shards=2).collect()
+    a = pack_sequences(df, max_tokens=40, num_shards=2, token_counter="words").collect()
+    b = pack_sequences(df.repartition(7), max_tokens=40, num_shards=2, token_counter="words").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
 def test_bfd_is_near_optimal_on_one_shard(spark):
     # sizes summing to 120 with max 40 -> lower bound 3 bins; BFD finds 3
     df = _docs(spark, [25, 15, 20, 20, 30, 10])
-    out = pack_sequences(df, max_tokens=40, num_shards=1).collect()
+    out = pack_sequences(df, max_tokens=40, num_shards=1, token_counter="words").collect()
     assert len({r["seq_id"] for r in out}) == 3
 
 
 def test_assemble_packed_orders_and_counts(spark):
     df = _docs(spark, [3, 2, 1])
-    assigns = pack_sequences(df, max_tokens=10, num_shards=1)
+    assigns = pack_sequences(df, max_tokens=10, num_shards=1, token_counter="words")
     packed = assemble_packed(assigns, df, sep=" | ").collect()
     assert len(packed) == 1
     row = packed[0]
@@ -89,7 +89,7 @@ def test_null_text_packs_as_zero_tokens(spark):
     df = spark.createDataFrame(
         [(0, None), (1, "tk tk tk")], "doc_id long, text string"
     )
-    out = pack_sequences(df, max_tokens=8, num_shards=1).collect()
+    out = pack_sequences(df, max_tokens=8, num_shards=1, token_counter="words").collect()
     got = {r["doc_id"]: r["n_tokens"] for r in out}
     assert got == {0: 0, 1: 3}  # both docs assigned, null = 0 tokens
 
@@ -108,7 +108,7 @@ def test_zero_token_doc_never_reopens_oversize_bin(spark):
         ],
         "doc_id long, text string",
     )
-    out = pack_sequences(docs, max_tokens=10, num_shards=1).collect()
+    out = pack_sequences(docs, max_tokens=10, num_shards=1, token_counter="words").collect()
     assert {r["doc_id"] for r in out} == {1, 2, 3}  # completeness
     by_seq = {}
     for r in out:
