@@ -1071,6 +1071,7 @@ def _q_blob_metadata(spark, sf):
     same bytes. Exercises encode -> sniff -> decode -> hash end to
     end inside a green row."""
     from neurostore_text_extraction_spark.operators.multimodal import (
+        audio_stats,
         blob_metadata,
         image_stats,
     )
@@ -1113,7 +1114,45 @@ def _q_blob_metadata(spark, sf):
         "px_sum",
         "ahash",
     )
-    return meta.join(px, "blob_id")
+
+    def _to_wav(batches):
+        import numpy as np
+        import pandas as pd
+
+        from neurostore_text_extraction_spark.functions.audio_codec import (
+            encode_wav,
+        )
+
+        for pdf in batches:
+            wavs = [
+                encode_wav(
+                    np.frombuffer(bytes(r)[:64].ljust(64, b"\0"), np.uint8),
+                    8000,
+                    bits=8,
+                )
+                for r in pdf["raw"]
+            ]
+            yield pd.DataFrame({"blob_id": pdf["blob_id"], "blob": wavs})
+
+    # audio twin (r5): the SAME 64 source bytes become 8-bit PCM mono
+    # @8 kHz, encoded to RIFF/WAVE in the UDF and decoded back by the
+    # from-scratch chunk-walking parser; the oracle recomputes the
+    # exact-integer signal features (sum == px_sum by construction,
+    # zero crossings / peak of the 128-centered signal) from the hex
+    # bytes — audio encode -> sniff -> decode -> features all land in
+    # this one green row alongside the PNG path.
+    wavs = blobs.mapInPandas(_to_wav, "blob_id string, blob binary")
+    au = audio_stats(wavs).select(
+        "blob_id",
+        F.col("media_type").alias("wav_type"),
+        "sample_rate",
+        F.col("n_samples").alias("wav_n"),
+        F.col("duration_ms").alias("wav_ms"),
+        F.col("sample_sum").alias("wav_sum"),
+        F.col("zero_crossings").alias("wav_zc"),
+        F.col("peak").alias("wav_peak"),
+    )
+    return meta.join(px, "blob_id").join(au, "blob_id")
 
 
 
@@ -2601,6 +2640,23 @@ def oracle_sql() -> dict[str, str]:
                 SUM(CASE WHEN 64*v > s.px_sum
                     THEN (CAST(1 AS HUGEINT) << i) ELSE 0 END) AS ahu
               FROM b JOIN s USING (blob_id) GROUP BY b.blob_id
+            ),
+            -- audio twin: the same 64 bytes as 8-bit PCM mono @8kHz.
+            -- Zero crossing at i <=> (v_i-128)*(v_{i+1}-128) < 0
+            -- (strict sign flip of the centered signal), peak =
+            -- max |v-128|; both exact in integers, mirroring
+            -- audio_codec.audio_features verbatim.
+            wv AS (
+              SELECT blob_id,
+                SUM(CASE WHEN nv IS NOT NULL
+                         AND (v - 128) * (nv - 128) < 0 THEN 1 ELSE 0 END)
+                  ::BIGINT AS wav_zc,
+                MAX(abs(v - 128))::BIGINT AS wav_peak
+              FROM (
+                SELECT blob_id, v,
+                       lead(v) OVER (PARTITION BY blob_id ORDER BY i) AS nv
+                FROM b
+              ) GROUP BY blob_id
             )
             SELECT d.blob_id,
                    'application/octet-stream' AS media_type,
@@ -2611,8 +2667,16 @@ def oracle_sql() -> dict[str, str]:
                    s.px_sum,
                    (CASE WHEN ah.ahu >= CAST(9223372036854775808 AS HUGEINT)
                          THEN ah.ahu - CAST(18446744073709551616 AS HUGEINT)
-                         ELSE ah.ahu END)::BIGINT AS ahash
+                         ELSE ah.ahu END)::BIGINT AS ahash,
+                   'audio/wav' AS wav_type,
+                   8000::INT AS sample_rate,
+                   64::BIGINT AS wav_n,
+                   8::BIGINT AS wav_ms,
+                   s.px_sum AS wav_sum,
+                   wv.wav_zc,
+                   wv.wav_peak
             FROM d JOIN s USING (blob_id) JOIN ah ON ah.blob_id = d.blob_id
+                 JOIN wv ON wv.blob_id = d.blob_id
         """,
         "domain_stats": """
             WITH u AS (

@@ -11,12 +11,20 @@ perceptual signatures) and :func:`perceptual_hash_pairs` runs
 image near-dup through the same Hamming-pigeonhole pair machinery the
 text SimHash path uses (``dedup.hamming_pairs``).
 
-JPEG / audio / video decoding remains honestly out of scope (a DCT
-codec is not stdlib territory): those media types raise
-``NotImplementedError`` from :func:`decode_blob` unless the
-deterministic fake is requested — the Spark-side contract (schema,
-batch shape, partitioning, fault isolation) is identical either way,
-so a real codec drops in unchanged.
+Audio decode is REAL for RIFF/PCM WAV (round 5):
+:mod:`..functions.audio_codec` parses the chunk list and 8/16/24/32-bit
+PCM frames from scratch, so :func:`audio_stats` emits genuine
+signal-derived columns (duration, exact sample sum, zero crossings,
+peak, RMS) with the same row-level fault isolation as the image path.
+
+JPEG / compressed audio (MP3/AAC) / video decoding remains honestly
+out of scope (DCT/MDCT entropy codecs are not stdlib territory):
+those media types raise ``NotImplementedError`` from
+:func:`decode_blob` (or a ``decode_error`` row from the stats
+operators) unless the deterministic fake is requested — the
+Spark-side contract (schema, batch shape, partitioning, fault
+isolation) is identical either way, so a real codec drops in
+unchanged.
 """
 
 from __future__ import annotations
@@ -243,6 +251,66 @@ def image_stats(
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         run, IMAGE_STATS_SCHEMA
+    )
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bits", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_sum", T.LongType(), True),   # exact int: oracle-safe
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def audio_stats(
+    df: DataFrame, id_col: str = "blob_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Real signal-derived columns per WAV blob, one Arrow pass: the
+    audio twin of :func:`image_stats`. PCM frames decode via the
+    from-scratch RIFF parser (:mod:`..functions.audio_codec`);
+    sample_sum / zero_crossings / peak are exact integers so the SQL
+    oracle recomputes them bit-for-bit from the same source bytes.
+    Non-WAV or malformed blobs carry ``decode_error`` instead of
+    failing the task."""
+    from ..functions.audio_codec import AudioDecodeError, audio_features, decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                bid = str(bid)
+                if blob is None:
+                    rows.append((bid, None) + (None,) * 9 + ("null blob",))
+                    continue
+                data = bytes(blob)
+                mt = sniff_media_type(data)
+                try:
+                    samples, rate, bits = decode_wav(data)
+                except AudioDecodeError as e:
+                    rows.append((bid, mt) + (None,) * 9 + (str(e)[:200],))
+                    continue
+                f = audio_features(samples, rate, bits)
+                rows.append(
+                    (
+                        bid, mt, f["sample_rate"], f["channels"], f["bits"],
+                        f["n_samples"], f["duration_ms"], f["sample_sum"],
+                        f["zero_crossings"], f["peak"], f["rms"], None,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_STATS_SCHEMA])
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        run, AUDIO_STATS_SCHEMA
     )
 
 
