@@ -471,9 +471,9 @@ def encode_gif(
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode PNG/BMP/GIF bytes to an (H, W, C) uint8 array, C per the
-    source format (PNG gray stays 1-channel; palette formats expand to
-    RGB)."""
+    """Decode PNG/BMP/GIF/JPEG bytes to an (H, W, C) uint8 array, C per
+    the source format (PNG gray stays 1-channel; palette formats expand
+    to RGB; JPEG gives RGB or 1-channel gray)."""
     try:
         if data[:8] == _PNG_SIG or data[:4] == b"\x89PNG":
             return decode_png(data)
@@ -481,11 +481,15 @@ def decode_image(data: bytes) -> np.ndarray:
             return decode_bmp(data)
         if data[:4] == b"GIF8":
             return decode_gif(data)
+        if data[:3] == b"\xff\xd8\xff":
+            from .jpeg_codec import decode_jpeg  # lazy: avoids import cycle
+
+            return decode_jpeg(data)
     except (struct.error, IndexError) as e:
         # malformed container bytes surface as the typed error so the
         # UDFs' per-row fault isolation catches them uniformly
         raise ImageDecodeError(f"truncated/malformed image: {e}") from e
-    raise ImageDecodeError("unknown image format (PNG/BMP/GIF supported)")
+    raise ImageDecodeError("unknown image format (PNG/BMP/GIF/JPEG supported)")
 
 
 def to_gray(arr: np.ndarray) -> np.ndarray:

@@ -176,7 +176,8 @@ def test_image_stats_real_pixels(spark):
             ("gray", encode_png(gray)),
             ("bmp", encode_bmp(arr)),
             ("gif", encode_gif(gif_idx, pal)),
-            ("jpeg", b"\xff\xd8\xffJFIFrest"),
+            ("jpeg", b"\xff\xd8\xffJFIFrest"),  # SOI but truncated body
+            ("webm", b"\x1a\x45\xdf\xa3 ebml..."),
             ("junk", b"\x89PNG\r\n\x1a\ntruncated"),
             ("nul", None),
         ],
@@ -197,7 +198,10 @@ def test_image_stats_real_pixels(spark):
     )
     assert rows["gif"].px_sum == int(pal[gif_idx].astype(np.int64).sum())
     # honest non-decode paths: typed, tagged, never a job failure
-    assert rows["jpeg"].width is None and "jpeg" in rows["jpeg"].decode_error
+    # (JPEG decodes for real since round 5, so a truncated stream now
+    # reports the parse failure, not a missing-codec message)
+    assert rows["jpeg"].width is None and rows["jpeg"].decode_error is not None
+    assert rows["webm"].width is None and "video/webm" in rows["webm"].decode_error
     assert rows["junk"].decode_error is not None
     assert rows["nul"].decode_error == "null blob"
 
