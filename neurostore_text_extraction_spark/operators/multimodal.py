@@ -20,8 +20,14 @@ PCM frames from scratch, so :func:`audio_stats` emits genuine
 signal-derived columns (duration, exact sample sum, zero crossings,
 peak, RMS) with the same row-level fault isolation as the image path.
 
-Progressive JPEG (SOF2), compressed audio (MP3/AAC) and compressed
-video codecs remain honestly out of scope: those raise
+Video decode is REAL for AVI/MJPEG (round 5):
+:mod:`..functions.video_codec` walks the RIFF container (same grammar
+as WAV) and decodes sampled frames through the JPEG codec, so
+:func:`video_stats` (header-only metadata) and :func:`video_frames`
+(bounded frame-sample -> per-frame aHash rows) run without ffmpeg.
+
+Progressive JPEG (SOF2), compressed audio (MP3/AAC) and inter-frame
+video codecs (H.264/VP9) remain honestly out of scope: those raise
 ``NotImplementedError``/``ImageDecodeError`` from :func:`decode_blob`
 (or a ``decode_error`` row from the stats operators) unless the
 deterministic fake is requested — the
@@ -66,7 +72,6 @@ _MAGIC = (
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
     (b"BM", "image/bmp"),
-    (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mpeg"),
     (b"\x1a\x45\xdf\xa3", "video/webm"),
     (b"%PDF-", "application/pdf"),
@@ -74,6 +79,11 @@ _MAGIC = (
 
 
 def sniff_media_type(data: bytes) -> str:
+    if data[:4] == b"RIFF":
+        # RIFF is a container family: the form type at offset 8 decides
+        if data[8:12] == b"AVI ":
+            return "video/x-msvideo"
+        return "audio/wav"
     for magic, mt in _MAGIC:
         if data[: len(magic)] == magic:
             return mt
@@ -312,6 +322,121 @@ def audio_stats(
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         run, AUDIO_STATS_SCHEMA
+    )
+
+
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("fps", T.DoubleType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def video_stats(
+    df: DataFrame, id_col: str = "blob_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Container-level video metadata per blob (headers only — no frame
+    decode, so this is cheap even on large payloads): codec fourcc,
+    frame count, dimensions, fps, duration. Non-AVI / malformed blobs
+    carry ``decode_error``."""
+    from ..functions.video_codec import VideoDecodeError, avi_metadata
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                bid = str(bid)
+                if blob is None:
+                    rows.append((bid, None) + (None,) * 6 + ("null blob",))
+                    continue
+                data = bytes(blob)
+                mt = sniff_media_type(data)
+                try:
+                    m = avi_metadata(data)
+                except VideoDecodeError as e:
+                    rows.append((bid, mt) + (None,) * 6 + (str(e)[:200],))
+                    continue
+                rows.append(
+                    (
+                        bid, mt, m["codec"], m["n_frames"], m["width"],
+                        m["height"], m["fps"], m["duration_ms"], None,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_STATS_SCHEMA])
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        run, VIDEO_STATS_SCHEMA
+    )
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("mean_px", T.DoubleType(), True),
+        T.StructField("ahash", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def video_frames(
+    df: DataFrame,
+    id_col: str = "blob_id",
+    blob_col: str = "blob",
+    every_n: int = 1,
+    max_frames: int | None = 32,
+) -> DataFrame:
+    """Frame-sample MJPEG videos into per-frame feature rows (the task
+    brief's "frame-sample as a UDF over mapInPandas", real since round
+    5): every ``every_n``-th frame decodes through the from-scratch
+    JPEG codec and emits dimensions, mean luma and the 64-bit aHash —
+    per-frame rows feed the same Hamming-pigeonhole near-dup machinery
+    as still images, so near-identical CLIPS cluster by shared frame
+    signatures. ``max_frames`` bounds per-blob output (and decode
+    cost) — a 2-hour upload cannot explode one task's memory; pass
+    ``None`` only when the caller knows payloads are short. A blob
+    whose container fails to parse yields ONE error row (fault
+    isolation); a torn individual frame is skipped by the iterator."""
+    from ..functions.video_codec import VideoDecodeError, iter_avi_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                bid = str(bid)
+                if blob is None:
+                    rows.append((bid, None, None, None, None, None, None, "null blob"))
+                    continue
+                try:
+                    for idx, frame in iter_avi_frames(
+                        bytes(blob), every_n=every_n, max_frames=max_frames
+                    ):
+                        h, w = frame.shape[:2]
+                        ch = 1 if frame.ndim == 2 else frame.shape[2]
+                        rows.append(
+                            (
+                                bid, int(idx), int(w), int(h), int(ch),
+                                float(to_gray(frame).mean()), ahash64(frame), None,
+                            )
+                        )
+                except VideoDecodeError as e:
+                    rows.append((bid, None, None, None, None, None, None, str(e)[:200]))
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES_SCHEMA])
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        run, VIDEO_FRAMES_SCHEMA
     )
 
 

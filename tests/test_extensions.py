@@ -211,9 +211,17 @@ def test_extract_features_fake_decode(spark):
 def test_decode_blob_jpeg_raises_png_decodes():
     import pytest
 
-    # jpeg stays honestly unimplemented (DCT is out of from-scratch scope)
-    with pytest.raises(NotImplementedError):
+    # round 5: JPEG decodes for real too — a truncated stream now fails
+    # with the typed codec error, and genuinely codec-less media (mp3)
+    # still raises NotImplementedError
+    from neurostore_text_extraction_spark.functions.image_codec import (
+        ImageDecodeError,
+    )
+
+    with pytest.raises(ImageDecodeError):
         MM.decode_blob(b"\xff\xd8\xff rest", "image/jpeg", fake=False)
+    with pytest.raises(NotImplementedError):
+        MM.decode_blob(b"ID3 mp3 bytes", "audio/mpeg", fake=False)
     # png decodes for REAL via the from-scratch codec
     import numpy as np
 

@@ -1,0 +1,126 @@
+"""AVI/MJPEG container codec (functions/video_codec.py) and the
+video_stats / video_frames operators: header parse, frame-sampling
+semantics, per-frame fidelity, bounded output, fault isolation."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from neurostore_text_extraction_spark.functions.video_codec import (
+    VideoDecodeError,
+    avi_metadata,
+    encode_avi_mjpeg,
+    iter_avi_frames,
+)
+
+
+def _frames(n=5, h=32, w=48):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return [
+        np.stack(
+            [
+                128 + 80 * np.sin((yy + 8 * t) / 6.0),
+                128 + 80 * np.cos((xx + 5 * t) / 7.0),
+                np.full_like(yy, (40 * t) % 256, dtype=float),
+            ],
+            -1,
+        ).astype(np.uint8)
+        for t in range(n)
+    ]
+
+
+def test_metadata_and_full_decode():
+    frames = _frames()
+    avi = encode_avi_mjpeg(frames, fps=10, quality=90)
+    m = avi_metadata(avi)
+    assert (m["codec"], m["n_frames"], m["width"], m["height"]) == ("MJPG", 5, 48, 32)
+    assert m["fps"] == 10.0 and m["duration_ms"] == 500
+    got = list(iter_avi_frames(avi))
+    assert [i for i, _ in got] == [0, 1, 2, 3, 4]
+    for (_, f), orig in zip(got, frames):
+        assert f.shape == orig.shape
+        assert np.abs(f.astype(int) - orig.astype(int)).mean() < 4.0
+
+
+def test_sampling_and_bounds():
+    avi = encode_avi_mjpeg(_frames(7), fps=5)
+    assert [i for i, _ in iter_avi_frames(avi, every_n=2)] == [0, 2, 4, 6]
+    assert [i for i, _ in iter_avi_frames(avi, every_n=3)] == [0, 3, 6]
+    assert [i for i, _ in iter_avi_frames(avi, max_frames=2)] == [0, 1]
+
+
+def test_preencoded_jpeg_frames_accepted():
+    from neurostore_text_extraction_spark.functions.jpeg_codec import encode_jpeg
+
+    jpegs = [encode_jpeg(f, quality=85) for f in _frames(3)]
+    avi = encode_avi_mjpeg(jpegs, fps=4)
+    assert avi_metadata(avi)["n_frames"] == 3
+    assert len(list(iter_avi_frames(avi))) == 3
+
+
+def test_torn_frame_skipped_not_fatal():
+    """One corrupt frame chunk must not kill the blob decode."""
+    frames = _frames(3)
+    avi = bytearray(encode_avi_mjpeg(frames, fps=5, quality=90))
+    # corrupt the SECOND frame's JPEG payload (find its SOI after movi)
+    movi = avi.index(b"movi")
+    first = avi.index(b"00dc", movi)
+    second = avi.index(b"00dc", first + 4)
+    # zero everything after frame 1's SOI — no SOF/SOS markers survive
+    avi[second + 10 : second + 200] = b"\x00" * 190
+    got = list(iter_avi_frames(bytes(avi)))
+    assert [i for i, _ in got] == [0, 2]
+
+
+def test_malformed_and_non_mjpeg_raise():
+    with pytest.raises(VideoDecodeError):
+        avi_metadata(b"RIFF\x08\x00\x00\x00WAVEdata")
+    with pytest.raises(VideoDecodeError):
+        avi_metadata(b"not even riff")
+    avi = bytearray(encode_avi_mjpeg(_frames(2), fps=5))
+    strh = avi.index(b"vids")
+    avi[strh + 4 : strh + 8] = b"H264"
+    with pytest.raises(VideoDecodeError, match="MJPEG only"):
+        list(iter_avi_frames(bytes(avi)))
+
+
+def test_video_operators(spark):
+    from neurostore_text_extraction_spark.functions.image_codec import ahash64
+    from neurostore_text_extraction_spark.operators.multimodal import (
+        video_frames,
+        video_stats,
+    )
+
+    frames = _frames(6)
+    avi = encode_avi_mjpeg(frames, fps=10, quality=90)
+    df = spark.createDataFrame(
+        [
+            ("v", bytearray(avi)),
+            ("junk", bytearray(b"RIFFxxxxWAVE")),
+            ("nul", None),
+        ],
+        "blob_id string, blob binary",
+    )
+    stats = {r["blob_id"]: r for r in video_stats(df).collect()}
+    assert stats["v"]["media_type"] == "video/x-msvideo"
+    assert (stats["v"]["codec"], stats["v"]["n_frames"]) == ("MJPG", 6)
+    assert stats["v"]["decode_error"] is None
+    assert stats["junk"]["decode_error"] is not None
+    assert stats["nul"]["decode_error"] == "null blob"
+
+    rows = video_frames(df, every_n=2).collect()
+    ok = sorted(
+        (r["frame_idx"] for r in rows if r["blob_id"] == "v" and r["decode_error"] is None)
+    )
+    assert ok == [0, 2, 4]
+    by_idx = {r["frame_idx"]: r for r in rows if r["blob_id"] == "v"}
+    # per-frame aHash matches the library hash of the decoded frame
+    from neurostore_text_extraction_spark.functions.video_codec import iter_avi_frames
+
+    for idx, frame in iter_avi_frames(avi, every_n=2):
+        assert by_idx[idx]["ahash"] == ahash64(frame)
+        assert (by_idx[idx]["width"], by_idx[idx]["height"]) == (48, 32)
+    # fault rows: one per undecodable blob
+    assert sum(1 for r in rows if r["blob_id"] == "junk") == 1
+    assert sum(1 for r in rows if r["blob_id"] == "nul") == 1
