@@ -440,6 +440,62 @@ def video_frames(
     )
 
 
+def video_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "blob_id",
+    blob_col: str = "blob",
+    every_n: int = 1,
+    max_frames: int | None = 32,
+    min_overlap: float = 0.5,
+    max_hash_df: int = 50,
+) -> DataFrame:
+    """Clip-level near-dup: two videos pair when the fraction of
+    shared sampled-frame aHashes ≥ ``min_overlap`` of the smaller
+    clip's distinct signatures — re-encoded/re-quality'd copies share
+    frame hashes (aHash survives recompression), unrelated clips
+    share none.
+
+    Scale shape mirrors the text n-gram path (``dedup.py``): frame
+    signatures are (blob, hash) rows; ubiquitous hashes (black/white
+    frames, title cards) appearing in > ``max_hash_df`` blobs are
+    removed by a broadcast anti-join BEFORE the self-equi-join on
+    hash, so no hot bucket can go quadratic; overlap is one groupBy
+    per pair. Returns (id_a, id_b, shared_frames, overlap)."""
+    sig = (
+        video_frames(df, id_col, blob_col, every_n=every_n, max_frames=max_frames)
+        .where(F.col("ahash").isNotNull())
+        .select(F.col("blob_id").alias("vid"), "ahash")
+        .distinct()
+    )
+    per_blob = sig.groupBy("vid").agg(F.count("*").alias("n_sig"))
+    hot = (
+        sig.groupBy("ahash")
+        .agg(F.count("*").alias("hash_df"))
+        .where(F.col("hash_df") > max_hash_df)
+        .select("ahash")
+    )
+    cold = sig.join(F.broadcast(hot), "ahash", "left_anti")
+    a = cold.select(F.col("vid").alias("id_a"), "ahash")
+    b = cold.select(F.col("vid").alias("id_b"), "ahash")
+    shared = (
+        a.join(b, "ahash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_frames"))
+    )
+    na = per_blob.select(F.col("vid").alias("id_a"), F.col("n_sig").alias("n_a"))
+    nb = per_blob.select(F.col("vid").alias("id_b"), F.col("n_sig").alias("n_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "overlap", F.col("shared_frames") / F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .where(F.col("overlap") >= min_overlap)
+        .select("id_a", "id_b", "shared_frames", F.round("overlap", 6).alias("overlap"))
+    )
+
+
 def perceptual_hash_pairs(
     df: DataFrame,
     id_col: str = "blob_id",

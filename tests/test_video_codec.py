@@ -85,6 +85,28 @@ def test_malformed_and_non_mjpeg_raise():
         list(iter_avi_frames(bytes(avi)))
 
 
+def test_video_near_dup_pairs(spark):
+    """A re-encoded copy (lower JPEG quality) shares frame aHashes
+    with its source; an unrelated clip shares none."""
+    from neurostore_text_extraction_spark.operators.multimodal import (
+        video_near_dup_pairs,
+    )
+
+    frames = _frames(6)
+    a = encode_avi_mjpeg(frames, fps=10, quality=92)
+    b = encode_avi_mjpeg(frames, fps=10, quality=60)  # re-encoded copy
+    other = [255 - f for f in frames]  # inverted → different hashes
+    c = encode_avi_mjpeg(other, fps=10, quality=92)
+    df = spark.createDataFrame(
+        [("a", bytearray(a)), ("b", bytearray(b)), ("c", bytearray(c)),
+         ("bad", bytearray(b"RIFFxxxxWAVE"))],
+        "blob_id string, blob binary",
+    )
+    pairs = video_near_dup_pairs(df, min_overlap=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [("a", "b")]
+    assert pairs[0]["overlap"] >= 0.5
+
+
 def test_video_operators(spark):
     from neurostore_text_extraction_spark.functions.image_codec import ahash64
     from neurostore_text_extraction_spark.operators.multimodal import (
