@@ -330,85 +330,106 @@ def encode_jpeg(
 # ------------------------------------------------------------------ decoder
 
 
-class _BitReader:
-    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
-    stops at any non-RST marker."""
+def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
+    """Split the entropy-coded scan into restart-interval segments with
+    0xFF00 stuffing removed, using C-speed ``bytes.find`` — one linear
+    pass so the per-symbol hot loop never inspects markers. Stops at
+    the first non-RST marker (EOI or the next segment header); 0xFF
+    fill bytes before a marker are skipped per T.81 B.1.1.2."""
+    segs: list[bytes] = []
+    parts: list[bytes] = []
+    n = len(data)
+    p = pos
+    while True:
+        q = data.find(b"\xff", p)
+        if q < 0:
+            parts.append(data[p:n])
+            break
+        nxt = data[q + 1] if q + 1 < n else 0xD9
+        if nxt == 0x00:  # stuffed data byte: keep the 0xFF, drop the 0x00
+            parts.append(data[p : q + 1])
+            p = q + 2
+        elif nxt == 0xFF:  # fill byte before a marker
+            parts.append(data[p:q])
+            p = q + 1
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: close this segment, open the next
+            parts.append(data[p:q])
+            segs.append(b"".join(parts))
+            parts = []
+            p = q + 2
+        else:  # any other marker ends the scan
+            parts.append(data[p:q])
+            break
+    segs.append(b"".join(parts))
+    return segs
 
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
+
+class _EntropyReader:
+    """MSB-first bit reader over one pre-unstuffed entropy segment.
+    Bits past the end of the segment read as 1s (T.81 F.2.2.5 pad)."""
+
+    __slots__ = ("buf", "n", "pos", "acc", "cnt")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.n = len(buf)
+        self.pos = 0
         self.acc = 0
-        self.nbits = 0
-        self.marker = None
+        self.cnt = 0
 
-    def _fill(self) -> bool:
-        d = self.data
-        p = self.pos
-        if p >= len(d):
-            return False
-        b = d[p]
-        if b == 0xFF:
-            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
-            if nxt == 0x00:
-                self.pos = p + 2
-            elif 0xD0 <= nxt <= 0xD7:  # RSTn consumed by caller via sync()
-                self.marker = nxt
-                return False
-            else:
-                self.marker = nxt
-                return False
-        else:
-            self.pos = p + 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-        return True
+    def peek16(self) -> int:
+        while self.cnt < 16:
+            b = self.buf[self.pos] if self.pos < self.n else 0xFF
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.cnt += 8
+        return (self.acc >> (self.cnt - 16)) & 0xFFFF
 
-    def bits(self, n: int) -> int:
-        while self.nbits < n:
-            if not self._fill():
-                # per spec, missing bits at stream end read as 1s
-                self.acc = (self.acc << 8) | 0xFF
-                self.nbits += 8
-        self.nbits -= n
-        v = (self.acc >> self.nbits) & ((1 << n) - 1)
-        self.acc &= (1 << self.nbits) - 1
+    def skip(self, nb: int) -> None:
+        self.cnt -= nb
+        self.acc &= (1 << self.cnt) - 1
+
+    def get(self, nb: int) -> int:
+        while self.cnt < nb:
+            b = self.buf[self.pos] if self.pos < self.n else 0xFF
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.cnt += 8
+        self.cnt -= nb
+        v = (self.acc >> self.cnt) & ((1 << nb) - 1)
+        self.acc &= (1 << self.cnt) - 1
         return v
-
-    def sync_restart(self) -> None:
-        """Consume an RSTn marker and byte-align."""
-        self.acc = 0
-        self.nbits = 0
-        # skip to the marker we stopped at
-        d = self.data
-        p = self.pos
-        while p + 1 < len(d) and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
-            p += 1
-        self.pos = p + 2
-        self.marker = None
 
 
 class _HuffTable:
-    """Canonical decode via (length → first code, symbol offset)."""
+    """Canonical Huffman decode via a peek-16 LUT (the libjpeg scheme):
+    ``lut[next_16_bits] = (symbol << 5) | code_length``, 0 = invalid.
+    One symbol costs a list index + a bit-skip instead of up to 16
+    single-bit reads — ~6× on the whole-image decode."""
+
+    __slots__ = ("lut",)
 
     def __init__(self, bits, vals):
-        self.fast = {}
+        lut = np.zeros(1 << 16, np.uint16)
         code = 0
         i = 0
         for length in range(1, 17):
+            span = 1 << (16 - length)
             for _ in range(bits[length - 1]):
-                self.fast[(length, code)] = vals[i]
+                lo = code << (16 - length)
+                lut[lo : lo + span] = (vals[i] << 5) | length
                 code += 1
                 i += 1
             code <<= 1
+        # Python list: indexing yields plain ints (no numpy-scalar tax)
+        self.lut = lut.tolist()
 
-    def decode(self, br: _BitReader) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.bits(1)
-            sym = self.fast.get((length, code))
-            if sym is not None:
-                return sym
-        raise ImageDecodeError("bad Huffman code")
+    def decode(self, br: _EntropyReader) -> int:
+        e = self.lut[br.peek16()]
+        if e == 0:
+            raise ImageDecodeError("bad Huffman code")
+        br.skip(e & 31)
+        return e >> 5
 
 
 def _extend(v: int, s: int) -> int:
@@ -532,11 +553,14 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         if c["tq"] not in qtabs:
             raise ImageDecodeError("missing quant table")
 
-    br = _BitReader(data, pos)
+    segs = _entropy_segments(data, pos)
+    seg_i = 0
+    br = _EntropyReader(segs[0])
     n_mcu = mcu_rows * mcu_cols
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
-            br.sync_restart()
+            seg_i += 1
+            br = _EntropyReader(segs[seg_i] if seg_i < len(segs) else b"")
             for c in comps:
                 c["pred"] = 0
         mr, mc = divmod(m, mcu_cols)
@@ -549,7 +573,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 for hh in range(c["h"]):
                     blk = c["coef"][(mr * c["v"] + v) * c["bw"] + mc * c["h"] + hh]
                     s = dct.decode(br)
-                    diff = _extend(br.bits(s), s) if s else 0
+                    diff = _extend(br.get(s), s) if s else 0
                     c["pred"] += diff
                     blk[0] = c["pred"]
                     k = 1
@@ -564,7 +588,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                         k += r
                         if k > 63:
                             raise ImageDecodeError("AC run past block end")
-                        blk[k] = _extend(br.bits(s), s)
+                        blk[k] = _extend(br.get(s), s)
                         k += 1
 
     # dequantize + IDCT, vectorized per component

@@ -92,6 +92,24 @@ def sniff_media_type(data: bytes) -> str:
     return "application/octet-stream"
 
 
+def _typed_pdf(rows: list[tuple], schema: T.StructType) -> pd.DataFrame:
+    """Build the Arrow-bound pandas frame with exact nullable ``Int64``
+    for integral columns. A plain ``pd.DataFrame(rows)`` degrades any
+    int column that shares a batch with a ``None`` (an error row) to
+    float64, which silently rounds values above 2**53 to the nearest
+    representable double — aHash/dHash are full 64-bit, so the emitted
+    hash then depended on whether a decode_error row happened to land
+    in the same partition, breaking parallelism invariance."""
+    data = {}
+    for i, f in enumerate(schema.fields):
+        vals = [r[i] for r in rows]
+        if isinstance(f.dataType, (T.LongType, T.IntegerType)):
+            data[f.name] = pd.array(vals, dtype="Int64")
+        else:
+            data[f.name] = pd.Series(vals, dtype=object)
+    return pd.DataFrame(data)
+
+
 def decode_blob(data: bytes, media_type: str, fake: bool = False) -> np.ndarray:
     """Pixel decode. PNG/BMP/GIF decode for real via the from-scratch
     codecs in :mod:`..functions.image_codec` (returns (H, W, C)
@@ -143,13 +161,7 @@ def blob_metadata(
                         pid,
                     )
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "blob_id", "media_type", "n_bytes", "sha256", "entropy_q",
-                    "partition_id",
-                ],
-            )
+            yield _typed_pdf(rows, BLOB_META_SCHEMA)
 
     cols = df.select(F.col(id_col), F.col(blob_col))
     return cols.mapInPandas(run, BLOB_META_SCHEMA)
@@ -258,7 +270,7 @@ def image_stats(
                         None,
                     )
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_STATS_SCHEMA])
+            yield _typed_pdf(rows, IMAGE_STATS_SCHEMA)
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         run, IMAGE_STATS_SCHEMA
@@ -318,7 +330,7 @@ def audio_stats(
                         f["zero_crossings"], f["peak"], f["rms"], None,
                     )
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_STATS_SCHEMA])
+            yield _typed_pdf(rows, AUDIO_STATS_SCHEMA)
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         run, AUDIO_STATS_SCHEMA
@@ -370,7 +382,7 @@ def video_stats(
                         m["height"], m["fps"], m["duration_ms"], None,
                     )
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_STATS_SCHEMA])
+            yield _typed_pdf(rows, VIDEO_STATS_SCHEMA)
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         run, VIDEO_STATS_SCHEMA
@@ -433,7 +445,7 @@ def video_frames(
                         )
                 except VideoDecodeError as e:
                     rows.append((bid, None, None, None, None, None, None, str(e)[:200]))
-            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES_SCHEMA])
+            yield _typed_pdf(rows, VIDEO_FRAMES_SCHEMA)
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         run, VIDEO_FRAMES_SCHEMA

@@ -214,6 +214,29 @@ def test_image_stats_partitioning_invariant(spark):
     assert sorted(map(tuple, a), key=str) == sorted(map(tuple, b), key=str)
 
 
+def test_image_stats_hash_exact_when_batch_has_error_rows(spark):
+    # Regression: an error row's None in the same pandas batch used to
+    # degrade the int64 hash columns to float64, rounding 64-bit
+    # aHash/dHash values above 2**53 to the nearest double — so the
+    # emitted hash depended on which rows shared a partition. Force
+    # everything into ONE batch alongside error rows and require the
+    # exact driver-side hash.
+    imgs = {f"b{i}": _img(16 + i, 24 + i, 3) for i in range(6)}
+    items = [(k, encode_png(v)) for k, v in imgs.items()]
+    items += [("bad", b"\xff\xd8\xffx"), ("nul", None)]
+    rows = {
+        r["blob_id"]: r
+        for r in MM.image_stats(_blob_frame(spark, items).coalesce(1)).collect()
+    }
+    saw_big = False
+    for k, img in imgs.items():
+        assert rows[k].ahash == ahash64(img), k
+        assert rows[k].dhash == dhash64(img), k
+        saw_big = saw_big or abs(rows[k].ahash) > 2**53 or abs(rows[k].dhash) > 2**53
+    assert saw_big, "fixture never exercised the >2**53 precision range"
+    assert rows["bad"].ahash is None and rows["nul"].decode_error == "null blob"
+
+
 def test_perceptual_hash_pairs_planted_neardups(spark):
     base = _img(32, 32, 3)
     bright = np.clip(base.astype(int) + 10, 0, 255).astype(np.uint8)
