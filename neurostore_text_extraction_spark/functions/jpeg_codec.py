@@ -5,14 +5,16 @@ PNG/BMP/GIF (image_codec), WAV (audio_codec) and now JFIF/JPEG, every
 common still-image container in a web-crawl multimodal column decodes
 natively inside the Arrow-batched UDF stages, no PIL/ffmpeg.
 
-Scope — baseline sequential DCT only, the overwhelming majority of
-web JPEGs:
-- SOF0 (baseline), 8-bit samples, 1 (grayscale) or 3 (YCbCr)
-  components, 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling
+Scope — the Huffman-coded DCT modes that cover essentially all web
+JPEGs:
+- SOF0/SOF1 (baseline/extended sequential) and SOF2 (progressive,
+  spectral selection + successive approximation per T.81 Annex G),
+  8-bit samples, 1 (grayscale) or 3 (YCbCr) components,
+  4:4:4 / 4:2:2 / 4:2:0 chroma subsampling
 - DHT Huffman tables are read from the stream (the encoder writes the
   Annex K "typical" tables); DQT 8-bit and 16-bit precision
 - DRI/RSTn restart markers (DC predictors reset, bitstream realigns)
-- progressive (SOF2), arithmetic coding and 12-bit depth raise
+- arithmetic coding (SOF9+), lossless and 12-bit depth raise
   :class:`image_codec.ImageDecodeError` — honestly unsupported
 
 The 8×8 DCT-II/III runs as two dense 8×8 matmuls per block over a
@@ -330,16 +332,20 @@ def encode_jpeg(
 # ------------------------------------------------------------------ decoder
 
 
-def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
-    """Split the entropy-coded scan into restart-interval segments with
-    0xFF00 stuffing removed, using C-speed ``bytes.find`` — one linear
-    pass so the per-symbol hot loop never inspects markers. Stops at
-    the first non-RST marker (EOI or the next segment header); 0xFF
-    fill bytes before a marker are skipped per T.81 B.1.1.2."""
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy-coded data into restart-interval
+    segments with 0xFF00 stuffing removed, using C-speed ``bytes.find``
+    — one linear pass so the per-symbol hot loop never inspects
+    markers. Stops at the first non-RST marker (EOI or the next
+    segment header — progressive streams interleave many scans); 0xFF
+    fill bytes before a marker are skipped per T.81 B.1.1.2. Returns
+    ``(segments, end)`` where ``end`` indexes the terminating marker's
+    0xFF (or ``len(data)``) so the caller's marker walk can resume."""
     segs: list[bytes] = []
     parts: list[bytes] = []
     n = len(data)
     p = pos
+    end = n
     while True:
         q = data.find(b"\xff", p)
         if q < 0:
@@ -359,9 +365,10 @@ def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
             p = q + 2
         else:  # any other marker ends the scan
             parts.append(data[p:q])
+            end = q
             break
     segs.append(b"".join(parts))
-    return segs
+    return segs, end
 
 
 class _EntropyReader:
@@ -448,8 +455,182 @@ def _upsample2_triangular(p: np.ndarray, axis: int) -> np.ndarray:
     return out.T if axis == 1 else out
 
 
+def _decode_baseline_scan(segs, scan_comps, huff, ri, mcu_rows, mcu_cols):
+    """One interleaved sequential (SOF0/1) scan: DC diff + full AC
+    spectrum per block, components interleaved per MCU (T.81 F.2)."""
+    seg_i = 0
+    br = _EntropyReader(segs[0])
+    for c in scan_comps:
+        c["pred"] = 0
+        if huff.get(c["td"]) is None or huff.get(0x10 | c["ta"]) is None:
+            raise ImageDecodeError("missing Huffman table")
+    for m in range(mcu_rows * mcu_cols):
+        if ri and m and m % ri == 0:
+            seg_i += 1
+            br = _EntropyReader(segs[seg_i] if seg_i < len(segs) else b"")
+            for c in scan_comps:
+                c["pred"] = 0
+        mr, mc = divmod(m, mcu_cols)
+        for c in scan_comps:
+            dct = huff[c["td"]]
+            act = huff[0x10 | c["ta"]]
+            for v in range(c["v"]):
+                for hh in range(c["h"]):
+                    blk = c["coef"][(mr * c["v"] + v) * c["bw"] + mc * c["h"] + hh]
+                    s = dct.decode(br)
+                    c["pred"] += _extend(br.get(s), s) if s else 0
+                    blk[0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = act.decode(br)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ImageDecodeError("AC run past block end")
+                        blk[k] = _extend(br.get(s), s)
+                        k += 1
+
+
+def _decode_dc_scan(segs, scan_comps, huff, ah, al, ri, mcu_rows, mcu_cols):
+    """Progressive DC scan (T.81 G.1.2.1). First pass (``ah == 0``)
+    decodes the usual DC differences scaled by ``<< al``; refinement
+    passes read one raw bit per block into bit ``al``. Interleaved when
+    the scan lists >1 component; a single-component scan walks only
+    that component's unpadded block grid."""
+    seg_i = 0
+    br = _EntropyReader(segs[0])
+    for c in scan_comps:
+        c["pred"] = 0
+        if ah == 0 and huff.get(c["td"]) is None:
+            raise ImageDecodeError("missing Huffman table")
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        units = mcu_rows * mcu_cols
+    else:
+        units = scan_comps[0]["cw"] * scan_comps[0]["ch"]
+    for m in range(units):
+        if ri and m and m % ri == 0:
+            seg_i += 1
+            br = _EntropyReader(segs[seg_i] if seg_i < len(segs) else b"")
+            for c in scan_comps:
+                c["pred"] = 0
+        if interleaved:
+            mr, mc = divmod(m, mcu_cols)
+            for c in scan_comps:
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        blk = c["coef"][
+                            (mr * c["v"] + v) * c["bw"] + mc * c["h"] + hh
+                        ]
+                        _dc_unit(br, c, blk, huff, ah, al)
+        else:
+            c = scan_comps[0]
+            row, col = divmod(m, c["cw"])
+            _dc_unit(br, c, c["coef"][row * c["bw"] + col], huff, ah, al)
+
+
+def _dc_unit(br, c, blk, huff, ah, al):
+    if ah == 0:
+        s = huff[c["td"]].decode(br)
+        c["pred"] += _extend(br.get(s), s) if s else 0
+        blk[0] = c["pred"] << al
+    elif br.get(1):
+        blk[0] |= 1 << al
+
+
+def _decode_ac_scan(segs, c, act, ss, se, ah, al, ri):
+    """Progressive AC scan over one component's spectral band
+    [ss, se] (T.81 G.1.2.2/G.1.2.3): EOB-run codes amortize trailing
+    zeros across whole blocks; refinement passes append one
+    correction bit per already-nonzero coefficient."""
+    seg_i = 0
+    br = _EntropyReader(segs[0])
+    eobrun = 0
+    for m in range(c["cw"] * c["ch"]):
+        if ri and m and m % ri == 0:
+            seg_i += 1
+            br = _EntropyReader(segs[seg_i] if seg_i < len(segs) else b"")
+            eobrun = 0
+        row, col = divmod(m, c["cw"])
+        blk = c["coef"][row * c["bw"] + col]
+        if ah == 0:
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = act.decode(br)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1  # this block's EOB + r extra
+                    if r:
+                        eobrun += br.get(r)
+                    break
+                k += r
+                if k > se:
+                    raise ImageDecodeError("AC run past band end")
+                blk[k] = _extend(br.get(s), s) << al
+                k += 1
+        else:
+            eobrun = _ac_refine_block(br, act, blk, ss, se, al, eobrun)
+
+
+def _ac_refine_block(br, act, blk, ss, se, al, eobrun):
+    """Successive-approximation AC refinement for one block — the
+    T.81 G.1.2.3 control flow: newly-significant coefficients arrive
+    as ±(1 << al); every already-nonzero coefficient crossed on the
+    way (including the EOB-run sweep) consumes one correction bit."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = act.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.get(r)
+                    break  # rest of band handled by the EOB sweep below
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                val = p1 if br.get(1) else m1
+            while k <= se:
+                coefp = int(blk[k])
+                if coefp != 0:
+                    if br.get(1) and (coefp & p1) == 0:
+                        blk[k] = coefp + (p1 if coefp >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun:
+        while k <= se:
+            coefp = int(blk[k])
+            if coefp != 0 and br.get(1) and (coefp & p1) == 0:
+                blk[k] = coefp + (p1 if coefp >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF/JPEG bytes → (H, W, C) uint8, C=1 or 3 (RGB)."""
+    """Baseline or progressive JFIF/JPEG bytes → (H, W, C) uint8,
+    C=1 or 3 (RGB)."""
     try:
         return _decode_jpeg(data)
     except (IndexError, struct.error, ValueError) as e:
@@ -469,7 +650,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     comps = None
     h = w = 0
     restart_interval = 0
-    scan = None
+    progressive = False
+    mcu_rows = mcu_cols = 0
+    hmax = vmax = 1
+    got_scan = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -504,7 +688,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(b[17 : 17 + n])
                 huff[(tc << 4) | th] = _HuffTable(bits, vals)
                 b = b[17 + n :]
-        elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential or progressive SOF
+            progressive = marker == 0xC2
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise ImageDecodeError(f"unsupported sample precision {prec}")
@@ -512,84 +697,73 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+                raise ImageDecodeError("bad sampling factors")
+            mcu_cols = (w + 8 * hmax - 1) // (8 * hmax)
+            mcu_rows = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c["bw"] = mcu_cols * c["h"]  # MCU-padded blocks per row
+                c["bh"] = mcu_rows * c["v"]
+                # unpadded block grid — what a non-interleaved scan walks
+                c["cw"] = ((w * c["h"] + hmax - 1) // hmax + 7) // 8
+                c["ch"] = ((h * c["v"] + vmax - 1) // vmax + 7) // 8
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ImageDecodeError(
-                f"unsupported JPEG mode (SOF{marker - 0xC0}): baseline only"
+                f"unsupported JPEG mode (SOF{marker - 0xC0}): "
+                "Huffman sequential/progressive only"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan, then keep walking
+            if comps is None:
+                raise ImageDecodeError("SOS before SOF")
+            by_id = {c["id"]: c for c in comps}
             ns = body[0]
-            scan = []
+            scan_comps = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                scan.append((cs, tt >> 4, tt & 0x0F))
-            pos = pos + 2 + seglen
-            break
+                c = by_id.get(cs)
+                if c is None:
+                    raise ImageDecodeError("scan references unknown component")
+                c["td"], c["ta"] = tt >> 4, tt & 0x0F
+                scan_comps.append(c)
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            segs, pos = _entropy_segments(data, pos + 2 + seglen)
+            if not progressive:
+                if len(scan_comps) != len(comps):
+                    raise ImageDecodeError(
+                        "sequential scan must cover all components"
+                    )
+                _decode_baseline_scan(
+                    segs, scan_comps, huff, restart_interval, mcu_rows, mcu_cols
+                )
+            elif ss == 0:  # DC scan (se must be 0 per G.1.1.1.1)
+                if se != 0:
+                    raise ImageDecodeError("progressive DC scan with Se != 0")
+                _decode_dc_scan(
+                    segs, scan_comps, huff, ah, al,
+                    restart_interval, mcu_rows, mcu_cols,
+                )
+            else:  # AC band scan: always a single component
+                if len(scan_comps) != 1 or se > 63 or ss > se:
+                    raise ImageDecodeError("bad progressive AC scan header")
+                c = scan_comps[0]
+                act = huff.get(0x10 | c["ta"])
+                if act is None:
+                    raise ImageDecodeError("missing Huffman table")
+                _decode_ac_scan(segs, c, act, ss, se, ah, al, restart_interval)
+            got_scan = True
+            continue  # pos already at the terminating marker's 0xFF
         pos += 2 + seglen
-    if comps is None or scan is None or not qtabs:
+    if comps is None or not got_scan or not qtabs:
         raise ImageDecodeError("missing SOF/SOS/DQT")
-    if len(scan) != len(comps):
-        raise ImageDecodeError("interleaved scan must cover all components")
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
-        raise ImageDecodeError("bad sampling factors")
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcu_cols = (w + mcu_w - 1) // mcu_w
-    mcu_rows = (h + mcu_h - 1) // mcu_h
-
-    by_id = {c["id"]: c for c in comps}
-    for cs, td, ta in scan:
-        c = by_id.get(cs)
-        if c is None:
-            raise ImageDecodeError("scan references unknown component")
-        c["td"], c["ta"] = td, ta
-        c["bw"] = mcu_cols * c["h"]   # blocks per row
-        c["bh"] = mcu_rows * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
-        c["pred"] = 0
+    for c in comps:
         if c["tq"] not in qtabs:
             raise ImageDecodeError("missing quant table")
-
-    segs = _entropy_segments(data, pos)
-    seg_i = 0
-    br = _EntropyReader(segs[0])
-    n_mcu = mcu_rows * mcu_cols
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_i += 1
-            br = _EntropyReader(segs[seg_i] if seg_i < len(segs) else b"")
-            for c in comps:
-                c["pred"] = 0
-        mr, mc = divmod(m, mcu_cols)
-        for c in comps:
-            dct = huff.get(c["td"])
-            act = huff.get(0x10 | c["ta"])
-            if dct is None or act is None:
-                raise ImageDecodeError("missing Huffman table")
-            for v in range(c["v"]):
-                for hh in range(c["h"]):
-                    blk = c["coef"][(mr * c["v"] + v) * c["bw"] + mc * c["h"] + hh]
-                    s = dct.decode(br)
-                    diff = _extend(br.get(s), s) if s else 0
-                    c["pred"] += diff
-                    blk[0] = c["pred"]
-                    k = 1
-                    while k < 64:
-                        rs = act.decode(br)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:
-                                k += 16  # ZRL
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ImageDecodeError("AC run past block end")
-                        blk[k] = _extend(br.get(s), s)
-                        k += 1
 
     # dequantize + IDCT, vectorized per component
     out_planes = []
