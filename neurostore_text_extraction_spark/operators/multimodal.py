@@ -111,20 +111,24 @@ def _typed_pdf(rows: list[tuple], schema: T.StructType) -> pd.DataFrame:
 
 
 def decode_blob(data: bytes, media_type: str, fake: bool = False) -> np.ndarray:
-    """Pixel decode. PNG/BMP/GIF decode for real via the from-scratch
-    codecs in :mod:`..functions.image_codec` (returns (H, W, C)
-    uint8). ``fake=True`` returns the deterministic pseudo-decode
-    (byte stream folded into a fixed 64×64 gray frame) for plumbing
-    tests and for media with no from-scratch codec. Compressed
-    audio/video without ``fake`` raise ``NotImplementedError``."""
+    """Pixel decode. PNG/BMP/GIF/JPEG (baseline + progressive) decode
+    for real via the from-scratch codecs in
+    :mod:`..functions.image_codec` / :mod:`..functions.jpeg_codec`
+    (returns (H, W, C) uint8); WAV and AVI/MJPEG have their own
+    operators (``audio_stats``, ``video_stats``). ``fake=True``
+    returns the deterministic pseudo-decode (byte stream folded into a
+    fixed 64×64 gray frame) for plumbing tests and for media with no
+    from-scratch codec (e.g. lossy compressed audio), which otherwise
+    raises ``NotImplementedError``."""
     if fake:
         arr = np.frombuffer(data[:4096].ljust(4096, b"\0"), dtype=np.uint8)
         return arr.reshape(64, 64, 1)
     if media_type in _DECODABLE:
         return decode_image(data)
     raise NotImplementedError(
-        f"no from-scratch codec for {media_type} (PNG/BMP/GIF decode "
-        "natively; install PIL/ffmpeg and extend decode_blob for the rest)"
+        f"no from-scratch codec for {media_type} (PNG/BMP/GIF/JPEG "
+        "decode natively, WAV/AVI via audio_stats/video_stats; install "
+        "PIL/ffmpeg and extend decode_blob for the rest)"
     )
 
 
