@@ -117,6 +117,70 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
     return out.reshape(n, ch), rate, bits
 
 
+def audio_fingerprint(
+    samples: np.ndarray,
+    sample_rate: int,
+    bits: int,
+    frame_ms: float = 100.0,
+    hop_ms: float = 50.0,
+    n_bands: int = 33,
+    fmin: float = 300.0,
+    fmax: float = 3000.0,
+    max_frames: int | None = None,
+) -> np.ndarray:
+    """Per-frame 32-bit subfingerprints in the Haitsma–Kalker style
+    (ISMIR 2002, "A Highly Robust Audio Fingerprinting System" — public
+    paper): Hann-windowed frames → energy spectrum → ``n_bands``
+    log-spaced bands over [fmin, fmax] → bit m of frame n is the sign
+    of the time-and-band energy difference
+    ``(E[n,m]-E[n,m+1]) - (E[n-1,m]-E[n-1,m+1])``.
+
+    Sign-of-difference bits are invariant under volume scaling (all
+    energies multiply by the same positive constant) and robust to
+    requantization/mild noise — re-encoded copies of a clip share most
+    subfingerprints, unrelated audio shares ~none, which is exactly the
+    property the overlap-join near-dup path needs. Frame geometry is
+    specified in milliseconds so the same content fingerprints
+    compatibly across sample rates. Returns an int64 array (values fit
+    in 32 bits, LSB-first bit order like the image hashes); empty when
+    the clip is shorter than two frames."""
+    n, ch = samples.shape
+    center = 128 if bits == 8 else 0
+    mono = samples.astype(np.float64)
+    mono = mono.mean(axis=1) if ch > 1 else mono[:, 0]
+    mono -= center
+    # the floor keeps >= 2 rfft bins per band even at telephone rates
+    frame_len = max(int(sample_rate * frame_ms / 1000.0), 4 * (n_bands + 1))
+    hop = max(int(sample_rate * hop_ms / 1000.0), frame_len // 4)
+    n_frames = 1 + (n - frame_len) // hop if n >= frame_len else 0
+    if max_frames is not None:
+        # +1: n_frames windows yield n_frames-1 difference fingerprints
+        n_frames = min(n_frames, max_frames + 1)
+    if n_frames < 2:
+        return np.zeros(0, np.int64)
+    idx = np.arange(frame_len)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = mono[idx] * np.hanning(frame_len)[None, :]
+    energy = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    # log-spaced band edges mapped to rfft bins; strictly increasing so
+    # every band holds >= 1 bin even at low sample rates
+    hi = min(fmax, 0.45 * sample_rate)
+    lo = min(fmin, hi / 4.0)
+    freqs = np.geomspace(lo, hi, n_bands + 1)
+    edges = np.clip(
+        (freqs * frame_len / sample_rate).astype(np.int64), 1, energy.shape[1] - 1
+    )
+    for i in range(1, len(edges)):
+        edges[i] = max(edges[i], edges[i - 1] + 1)
+    if edges[-1] > energy.shape[1] - 1:
+        # collapsed log spacing (short frames): fall back to linear bins
+        edges = np.linspace(1, energy.shape[1] - 1, n_bands + 1).astype(np.int64)
+    bands = np.add.reduceat(energy, edges[:-1], axis=1)  # (n_frames, n_bands)
+    d = bands[:, :-1] - bands[:, 1:]          # band differences
+    bits_arr = (d[1:] - d[:-1]) > 0           # time differences → bits
+    weights = (1 << np.arange(bits_arr.shape[1], dtype=np.int64))
+    return bits_arr.astype(np.int64) @ weights
+
+
 def audio_features(samples: np.ndarray, sample_rate: int, bits: int) -> dict:
     """Deterministic signal features over decoded PCM, exact-integer
     where the DuckDB oracle recomputes them (sample_sum,

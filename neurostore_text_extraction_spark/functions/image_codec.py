@@ -546,3 +546,44 @@ def dhash64(arr: np.ndarray) -> int:
         if bits[i]:
             v |= 1 << i
     return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (type-II, norm='ortho' — same transform
+    the JPEG codec uses, sized for the hash)."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    c[0] /= np.sqrt(2.0)
+    return c
+
+
+_PHASH_DCT32 = _dct_matrix(32)
+
+
+def phash64(arr: np.ndarray) -> int:
+    """Perceptual (DCT) hash: gray → 32×32 box mean → 2-D orthonormal
+    DCT-II → top-left 8×8 low-frequency block → bit i (row-major, LSB
+    first) set iff coefficient > the block's median. The standard
+    pHash construction (imagehash/pHash.org, public): comparing
+    low-frequency coefficients to their median makes the hash invariant
+    to global brightness/contrast changes (affine px → a·px + b scales
+    the AC coefficients and shifts only DC, so the > median bits for
+    a > 0 are unchanged) and robust to blur/recompression, which the
+    edge-sensitive aHash/dHash are not. Signed 64-bit like
+    :func:`ahash64`."""
+    g = box_downsample(to_gray(arr), 32, 32)
+    d = _PHASH_DCT32 @ g @ _PHASH_DCT32.T
+    low = d[:8, :8].reshape(-1)
+    # relative dead-zone around the median: flat/separable images (web
+    # logos, screenshots) put many coefficients at EXACTLY 0, where a
+    # bare > median comparison flips bits on 1e-15 float jitter between
+    # otherwise-identical renders; anything within eps of the median
+    # deterministically reads as 0
+    eps = 1e-9 * max(1.0, float(np.abs(low).max()))
+    bits = (low - np.median(low)) > eps
+    v = 0
+    for i in range(64):
+        if bits[i]:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v

@@ -51,6 +51,7 @@ from ..functions.image_codec import (
     box_downsample,
     decode_image,
     dhash64,
+    phash64,
     to_gray,
 )
 
@@ -224,6 +225,7 @@ IMAGE_STATS_SCHEMA = T.StructType(
         T.StructField("pixel_entropy", T.DoubleType(), True),
         T.StructField("ahash", T.LongType(), True),
         T.StructField("dhash", T.LongType(), True),
+        T.StructField("phash", T.LongType(), True),
         T.StructField("decode_error", T.StringType(), True),
     ]
 )
@@ -246,14 +248,14 @@ def image_stats(
             for bid, blob in zip(pdf[id_col], pdf[blob_col]):
                 bid = str(bid)
                 if blob is None:
-                    rows.append((bid, None) + (None,) * 9 + ("null blob",))
+                    rows.append((bid, None) + (None,) * 10 + ("null blob",))
                     continue
                 data = bytes(blob)
                 mt = sniff_media_type(data)
                 try:
                     img = decode_blob(data, mt, fake=False)
                 except (ImageDecodeError, NotImplementedError) as e:
-                    rows.append((bid, mt) + (None,) * 9 + (str(e)[:200],))
+                    rows.append((bid, mt) + (None,) * 10 + (str(e)[:200],))
                     continue
                 h, w = img.shape[:2]
                 ch = 1 if img.ndim == 2 else img.shape[2]
@@ -271,6 +273,7 @@ def image_stats(
                         float(-(p * np.log2(p)).sum()),
                         ahash64(img),
                         dhash64(img),
+                        phash64(img),
                         None,
                     )
                 )
@@ -338,6 +341,93 @@ def audio_stats(
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         run, AUDIO_STATS_SCHEMA
+    )
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("fp", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    id_col: str = "blob_id",
+    blob_col: str = "blob",
+    frame_ms: float = 100.0,
+    hop_ms: float = 50.0,
+    max_frames: int | None = 512,
+) -> DataFrame:
+    """Per-frame 32-bit audio subfingerprints (Haitsma–Kalker 2002) per
+    WAV blob — the audio twin of :func:`video_frames`: each sampled
+    window emits one signature row, and near-identical CLIPS cluster by
+    shared signatures downstream. ``max_frames`` bounds per-blob rows
+    and FFT cost (at the 50 ms default hop, 512 frames ≈ 26 s of audio
+    — a 3-hour podcast cannot explode one task); undecodable blobs
+    carry ONE ``decode_error`` row (fault isolation)."""
+    from ..functions.audio_codec import (
+        AudioDecodeError,
+        audio_fingerprint,
+        decode_wav,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                bid = str(bid)
+                if blob is None:
+                    rows.append((bid, None, None, "null blob"))
+                    continue
+                try:
+                    samples, rate, bits = decode_wav(bytes(blob))
+                except AudioDecodeError as e:
+                    rows.append((bid, None, None, str(e)[:200]))
+                    continue
+                fps = audio_fingerprint(
+                    samples, rate, bits,
+                    frame_ms=frame_ms, hop_ms=hop_ms, max_frames=max_frames,
+                )
+                for i, v in enumerate(fps.tolist()):
+                    rows.append((bid, i, v, None))
+            yield _typed_pdf(rows, AUDIO_FP_SCHEMA)
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        run, AUDIO_FP_SCHEMA
+    )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "blob_id",
+    blob_col: str = "blob",
+    frame_ms: float = 100.0,
+    hop_ms: float = 50.0,
+    max_frames: int | None = 512,
+    min_overlap: float = 0.35,
+    max_fp_df: int = 50,
+) -> DataFrame:
+    """Clip-level audio near-dup: two clips pair when the fraction of
+    shared 32-bit subfingerprints ≥ ``min_overlap`` of the smaller
+    clip's distinct set. Candidate generation by EXACT subfingerprint
+    equality is the published scale path (Haitsma–Kalker §3: database
+    lookup on exact 32-bit matches; in practice re-encoded copies keep
+    many frames bit-exact — volume changes keep ALL of them, since
+    sign-of-energy-difference bits are scale-invariant). Unrelated
+    audio shares ~no subfingerprints, so ``min_overlap`` can sit low
+    (default 0.35) without false pairs; silence/tone frames ubiquitous
+    across > ``max_fp_df`` blobs are anti-joined away before the
+    self-join. Returns (id_a, id_b, shared_fps, overlap)."""
+    sig = audio_fingerprints(
+        df, id_col, blob_col,
+        frame_ms=frame_ms, hop_ms=hop_ms, max_frames=max_frames,
+    ).where(F.col("fp").isNotNull())
+    return shared_signature_pairs(
+        sig, "blob_id", "fp", min_overlap, max_fp_df, shared_alias="shared_fps"
     )
 
 
@@ -456,6 +546,58 @@ def video_frames(
     )
 
 
+def shared_signature_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    min_overlap: float,
+    max_sig_df: int,
+    shared_alias: str = "shared",
+) -> DataFrame:
+    """Clip-level near-dup from per-frame signature rows: two blobs
+    pair when the fraction of shared signatures ≥ ``min_overlap`` of
+    the smaller blob's distinct signature set. Signature-agnostic —
+    the video path feeds frame aHashes, the audio path Haitsma–Kalker
+    subfingerprints.
+
+    Scale shape mirrors the text n-gram path (``dedup.py``):
+    signatures ubiquitous across > ``max_sig_df`` blobs (black/white
+    frames, title cards, silence) are removed by a broadcast anti-join
+    BEFORE the self-equi-join on signature, so no hot bucket can go
+    quadratic; overlap is one groupBy per pair. Returns
+    (id_a, id_b, <shared_alias>, overlap)."""
+    sig = sig.select(F.col(id_col).alias("vid"), F.col(sig_col).alias("_sig")).distinct()
+    per_blob = sig.groupBy("vid").agg(F.count("*").alias("n_sig"))
+    hot = (
+        sig.groupBy("_sig")
+        .agg(F.count("*").alias("sig_df"))
+        .where(F.col("sig_df") > max_sig_df)
+        .select("_sig")
+    )
+    cold = sig.join(F.broadcast(hot), "_sig", "left_anti")
+    a = cold.select(F.col("vid").alias("id_a"), "_sig")
+    b = cold.select(F.col("vid").alias("id_b"), "_sig")
+    shared = (
+        a.join(b, "_sig")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias(shared_alias))
+    )
+    na = per_blob.select(F.col("vid").alias("id_a"), F.col("n_sig").alias("n_a"))
+    nb = per_blob.select(F.col("vid").alias("id_b"), F.col("n_sig").alias("n_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "overlap", F.col(shared_alias) / F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .where(F.col("overlap") >= min_overlap)
+        .select(
+            "id_a", "id_b", shared_alias, F.round("overlap", 6).alias("overlap")
+        )
+    )
+
+
 def video_near_dup_pairs(
     df: DataFrame,
     id_col: str = "blob_id",
@@ -465,50 +607,18 @@ def video_near_dup_pairs(
     min_overlap: float = 0.5,
     max_hash_df: int = 50,
 ) -> DataFrame:
-    """Clip-level near-dup: two videos pair when the fraction of
+    """Clip-level video near-dup: two videos pair when the fraction of
     shared sampled-frame aHashes ≥ ``min_overlap`` of the smaller
     clip's distinct signatures — re-encoded/re-quality'd copies share
-    frame hashes (aHash survives recompression), unrelated clips
-    share none.
-
-    Scale shape mirrors the text n-gram path (``dedup.py``): frame
-    signatures are (blob, hash) rows; ubiquitous hashes (black/white
-    frames, title cards) appearing in > ``max_hash_df`` blobs are
-    removed by a broadcast anti-join BEFORE the self-equi-join on
-    hash, so no hot bucket can go quadratic; overlap is one groupBy
-    per pair. Returns (id_a, id_b, shared_frames, overlap)."""
-    sig = (
-        video_frames(df, id_col, blob_col, every_n=every_n, max_frames=max_frames)
-        .where(F.col("ahash").isNotNull())
-        .select(F.col("blob_id").alias("vid"), "ahash")
-        .distinct()
-    )
-    per_blob = sig.groupBy("vid").agg(F.count("*").alias("n_sig"))
-    hot = (
-        sig.groupBy("ahash")
-        .agg(F.count("*").alias("hash_df"))
-        .where(F.col("hash_df") > max_hash_df)
-        .select("ahash")
-    )
-    cold = sig.join(F.broadcast(hot), "ahash", "left_anti")
-    a = cold.select(F.col("vid").alias("id_a"), "ahash")
-    b = cold.select(F.col("vid").alias("id_b"), "ahash")
-    shared = (
-        a.join(b, "ahash")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared_frames"))
-    )
-    na = per_blob.select(F.col("vid").alias("id_a"), F.col("n_sig").alias("n_a"))
-    nb = per_blob.select(F.col("vid").alias("id_b"), F.col("n_sig").alias("n_b"))
-    return (
-        shared.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
-            "overlap", F.col("shared_frames") / F.least(F.col("n_a"), F.col("n_b"))
-        )
-        .where(F.col("overlap") >= min_overlap)
-        .select("id_a", "id_b", "shared_frames", F.round("overlap", 6).alias("overlap"))
+    frame hashes (aHash survives recompression), unrelated clips share
+    none. Candidate generation + overlap scoring are the shared
+    :func:`shared_signature_pairs` machinery (hot-hash anti-join, no
+    all-pairs scan). Returns (id_a, id_b, shared_frames, overlap)."""
+    sig = video_frames(
+        df, id_col, blob_col, every_n=every_n, max_frames=max_frames
+    ).where(F.col("ahash").isNotNull())
+    return shared_signature_pairs(
+        sig, "blob_id", "ahash", min_overlap, max_hash_df, shared_alias="shared_frames"
     )
 
 

@@ -112,3 +112,105 @@ def test_audio_stats_operator_and_fault_isolation(spark):
     for bad in ("garbage", "null", "png"):
         assert got[bad]["decode_error"] is not None
         assert got[bad]["sample_sum"] is None
+
+
+# --------------------------------------------- fingerprints (round 5)
+
+
+def _clip(seed, seconds=3.0, sr=8000, freqs=(440.0, 880.0)):
+    """Deterministic synthetic 'song': tone mixture + seeded noise."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    sig = sum(
+        (9000 / (i + 1)) * np.sin(2 * np.pi * f * t * (1 + 0.05 * np.sin(2 * np.pi * 0.5 * t)))
+        for i, f in enumerate(freqs)
+    ) + 1200 * rng.randn(len(t))
+    return np.clip(sig, -32768, 32767).astype(np.int32)[:, None]
+
+
+def _fp_overlap(a, b):
+    sa, sb = set(a.tolist()), set(b.tolist())
+    return len(sa & sb) / min(len(sa), len(sb))
+
+
+def test_audio_fingerprint_haitsma_kalker_properties():
+    from neurostore_text_extraction_spark.functions.audio_codec import (
+        audio_fingerprint,
+    )
+
+    base = _clip(7)
+    fp = audio_fingerprint(base, 8000, 16)
+    # 3 s at 100 ms frames / 50 ms hop → 59 windows → 58 subfingerprints
+    assert len(fp) == 58
+    assert fp.min() >= 0 and fp.max() < 2**32
+    # sign-of-energy-difference bits are EXACTLY volume-invariant
+    scaled = (base * 0.55).astype(np.int32)
+    assert np.array_equal(fp, audio_fingerprint(scaled, 8000, 16))
+    # 8-bit requantization (re-encode) keeps a large shared fraction
+    q8 = ((base >> 8) + 128).astype(np.int32)
+    assert _fp_overlap(fp, audio_fingerprint(q8, 8000, 8)) >= 0.4
+    # unrelated content shares ~nothing
+    other = _clip(99, freqs=(613.0, 1290.0))
+    assert _fp_overlap(fp, audio_fingerprint(other, 8000, 16)) <= 0.05
+    # max_frames bounds output; short clips yield empty, never raise
+    assert len(audio_fingerprint(base, 8000, 16, max_frames=10)) == 10
+    assert len(audio_fingerprint(base[:100], 8000, 16)) == 0
+
+
+def test_audio_fingerprints_operator_and_near_dup_pairs(spark):
+    from neurostore_text_extraction_spark.functions.audio_codec import (
+        audio_fingerprint,
+    )
+    from neurostore_text_extraction_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_near_dup_pairs,
+    )
+
+    base = _clip(7)
+    vol = (base * 0.7).astype(np.int32)
+    other = _clip(99, freqs=(613.0, 1290.0))
+    rows = [
+        ("song", bytearray(encode_wav(base, 8000, bits=16))),
+        ("song_loud", bytearray(encode_wav(vol, 8000, bits=16))),
+        ("other", bytearray(encode_wav(other, 8000, bits=16))),
+        ("garbage", bytearray(b"not audio")),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "blob_id string, blob binary")
+    fps = audio_fingerprints(df).collect()
+    by_id = {}
+    for r in fps:
+        by_id.setdefault(r["blob_id"], []).append(r)
+    song = sorted(by_id["song"], key=lambda r: r["frame_idx"])
+    expect = audio_fingerprint(base, 8000, 16, max_frames=512)
+    assert [r["fp"] for r in song] == expect.tolist()
+    assert all(r["decode_error"] is None for r in song)
+    assert by_id["garbage"][0]["decode_error"] is not None
+    assert by_id["null"][0]["decode_error"] == "null blob"
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in audio_near_dup_pairs(df).collect()
+    }
+    assert ("song", "song_loud") in pairs
+    p = pairs[("song", "song_loud")]
+    assert p["overlap"] == 1.0 and p["shared_fps"] == 58
+    assert not any("other" in k or "garbage" in k for k in pairs)
+
+
+def test_audio_near_dup_hot_fp_anti_join(spark):
+    """A subfingerprint ubiquitous across > max_fp_df blobs (silence /
+    shared jingle) must not create pairs by itself: hot signatures are
+    anti-joined away before the self-join."""
+    from neurostore_text_extraction_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+    )
+
+    silence = np.zeros((8000 * 2, 1), np.int32)  # all-equal frames → 1 fp value
+    rows = [
+        (f"s{i}", bytearray(encode_wav(silence, 8000, bits=16))) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "blob_id string, blob binary")
+    assert audio_near_dup_pairs(df, max_fp_df=3).count() == 0
+    # under the cap the same corpus pairs freely
+    assert audio_near_dup_pairs(df, max_fp_df=50).count() == 15

@@ -22,6 +22,7 @@ from neurostore_text_extraction_spark.functions.image_codec import (
     encode_bmp,
     encode_gif,
     encode_png,
+    phash64,
     to_gray,
 )
 from neurostore_text_extraction_spark.operators import multimodal as MM
@@ -258,6 +259,58 @@ def test_perceptual_hash_pairs_planted_neardups(spark):
     }
     assert pairs[("a", "a_bright")] == 0
     assert ("a", "a_tweak") in pairs or ("a_tweak", "a_bright") in pairs
+    assert not any("far" in p or "bad" in p for p in pairs)
+
+
+def _hamming64(a, b):
+    return bin((a ^ b) & (2**64 - 1)).count("1")
+
+
+def test_phash_brightness_contrast_invariant_pure():
+    """pHash's defining property vs aHash/dHash: affine px → a·px + b
+    scales AC coefficients uniformly and shifts only DC, so the
+    >-median bits survive brightness AND contrast edits that move
+    every pixel (where aHash can flip many bits)."""
+    base = _img(40, 48, 3).astype(np.float64)
+    # smooth structure so the low-freq block carries real signal
+    xx = np.mgrid[0:40, 0:48][1]
+    base = np.clip(base * 0.3 + 110 + 60 * np.sin(xx / 7.0)[..., None], 0, 255)
+    base = base.astype(np.uint8)
+    brighter = np.clip(base.astype(np.float64) + 35, 0, 255).astype(np.uint8)
+    contrast = np.clip((base.astype(np.float64) - 128) * 1.4 + 128, 0, 255).astype(
+        np.uint8
+    )
+    assert _hamming64(phash64(base), phash64(brighter)) <= 4
+    assert _hamming64(phash64(base), phash64(contrast)) <= 4
+    far = RNG.randint(0, 256, (40, 48, 3), dtype=np.uint8)
+    assert _hamming64(phash64(base), phash64(far)) > 12
+
+
+def test_phash_column_and_phash_pairs(spark):
+    """phash surfaces in image_stats and drives perceptual_hash_pairs
+    via hash_col — planted brightness-edited copies pair, noise
+    doesn't."""
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = np.clip(90 + 70 * np.sin(xx / 5.0) + 40 * np.cos(yy / 4.0), 0, 255).astype(
+        np.uint8
+    )[..., None].repeat(3, axis=2)
+    bright = np.clip(base.astype(int) + 30, 0, 255).astype(np.uint8)
+    items = [
+        ("a", encode_png(base)),
+        ("a_bright", encode_png(bright)),
+        ("far", encode_png(RNG.randint(0, 256, (32, 32, 3), dtype=np.uint8))),
+        ("bad", b"\xff\xd8\xffx"),
+    ]
+    stats = {r["blob_id"]: r for r in MM.image_stats(_blob_frame(spark, items)).collect()}
+    assert stats["a"].phash == phash64(base)
+    assert stats["bad"].phash is None
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in MM.perceptual_hash_pairs(
+            _blob_frame(spark, items), hash_col="phash", max_hamming=3
+        ).collect()
+    }
+    assert ("a", "a_bright") in pairs
     assert not any("far" in p or "bad" in p for p in pairs)
 
 
