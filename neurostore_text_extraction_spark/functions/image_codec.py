@@ -476,20 +476,34 @@ def decode_image(data: bytes) -> np.ndarray:
     to RGB; JPEG gives RGB or 1-channel gray)."""
     try:
         if data[:8] == _PNG_SIG or data[:4] == b"\x89PNG":
-            return decode_png(data)
-        if data[:2] == b"BM":
-            return decode_bmp(data)
-        if data[:4] == b"GIF8":
-            return decode_gif(data)
-        if data[:3] == b"\xff\xd8\xff":
+            arr = decode_png(data)
+        elif data[:2] == b"BM":
+            arr = decode_bmp(data)
+        elif data[:4] == b"GIF8":
+            arr = decode_gif(data)
+        elif data[:3] == b"\xff\xd8\xff":
             from .jpeg_codec import decode_jpeg  # lazy: avoids import cycle
 
-            return decode_jpeg(data)
-    except (struct.error, IndexError) as e:
+            arr = decode_jpeg(data)
+        else:
+            raise ImageDecodeError(
+                "unknown image format (PNG/BMP/GIF/JPEG supported)"
+            )
+    except ImageDecodeError:
+        raise
+    except (struct.error, IndexError, ValueError) as e:
         # malformed container bytes surface as the typed error so the
-        # UDFs' per-row fault isolation catches them uniformly
+        # UDFs' per-row fault isolation catches them uniformly. The
+        # ValueError arm matters: numpy raises plain ValueError on
+        # short buffers / bad reshape (e.g. a PLTE chunk whose length
+        # is not a multiple of 3, a GIF palette shorter than declared)
         raise ImageDecodeError(f"truncated/malformed image: {e}") from e
-    raise ImageDecodeError("unknown image format (PNG/BMP/GIF/JPEG supported)")
+    if arr.size == 0:
+        # w=0 / h=0 in a declared header decodes to an empty array that
+        # would crash the downstream hashes (np.add.reduceat on an
+        # empty axis) OUTSIDE the callers' per-row try — reject here
+        raise ImageDecodeError("zero-dimension image")
+    return arr
 
 
 def to_gray(arr: np.ndarray) -> np.ndarray:
@@ -522,11 +536,12 @@ def box_downsample(gray: np.ndarray, th: int, tw: int) -> np.ndarray:
     return sums / counts
 
 
-def ahash64(arr: np.ndarray) -> int:
+def ahash64(arr: np.ndarray, gray: np.ndarray | None = None) -> int:
     """Average hash: gray → 8×8 box mean → bit i (row-major, LSB
     first) set iff pixel > mean. Returned as a SIGNED 64-bit int
-    (bit 63 → negative) to match Spark's LongType."""
-    g = box_downsample(to_gray(arr), 8, 8).reshape(-1)
+    (bit 63 → negative) to match Spark's LongType. Pass a precomputed
+    ``gray`` plane to share the luma conversion across hashes."""
+    g = box_downsample(to_gray(arr) if gray is None else gray, 8, 8).reshape(-1)
     m = g.mean()
     bits = g > m
     v = 0
@@ -536,10 +551,10 @@ def ahash64(arr: np.ndarray) -> int:
     return v - (1 << 64) if v >= 1 << 63 else v
 
 
-def dhash64(arr: np.ndarray) -> int:
+def dhash64(arr: np.ndarray, gray: np.ndarray | None = None) -> int:
     """Difference hash: gray → 8×9 box mean → bit (r*8+c) set iff
     px[r,c] > px[r,c+1]. Signed 64-bit like :func:`ahash64`."""
-    g = box_downsample(to_gray(arr), 8, 9)
+    g = box_downsample(to_gray(arr) if gray is None else gray, 8, 9)
     bits = (g[:, :-1] > g[:, 1:]).reshape(-1)
     v = 0
     for i in range(64):
@@ -561,7 +576,7 @@ def _dct_matrix(n: int) -> np.ndarray:
 _PHASH_DCT32 = _dct_matrix(32)
 
 
-def phash64(arr: np.ndarray) -> int:
+def phash64(arr: np.ndarray, gray: np.ndarray | None = None) -> int:
     """Perceptual (DCT) hash: gray → 32×32 box mean → 2-D orthonormal
     DCT-II → top-left 8×8 low-frequency block → bit i (row-major, LSB
     first) set iff coefficient > the block's median. The standard
@@ -572,7 +587,7 @@ def phash64(arr: np.ndarray) -> int:
     a > 0 are unchanged) and robust to blur/recompression, which the
     edge-sensitive aHash/dHash are not. Signed 64-bit like
     :func:`ahash64`."""
-    g = box_downsample(to_gray(arr), 32, 32)
+    g = box_downsample(to_gray(arr) if gray is None else gray, 32, 32)
     d = _PHASH_DCT32 @ g @ _PHASH_DCT32.T
     low = d[:8, :8].reshape(-1)
     # relative dead-zone around the median: flat/separable images (web

@@ -25,7 +25,6 @@ from collections.abc import Iterator
 
 import numpy as np
 
-from .image_codec import ImageDecodeError
 from .jpeg_codec import decode_jpeg, encode_jpeg
 
 
@@ -91,11 +90,15 @@ def encode_avi_mjpeg(
 
 
 def _walk_chunks(data: bytes, pos: int, end: int):
-    """Yield (fourcc, body_start, body_size) over a RIFF chunk run."""
+    """Yield (fourcc, body_start, body_size) over a RIFF chunk run.
+    ``end`` is clamped to the real buffer and a declared size is capped
+    at the bytes actually present, so truncated files walk cleanly
+    instead of handing oversized spans to the header parsers."""
+    end = min(end, len(data))
     while pos + 8 <= end:
         fourcc = data[pos : pos + 4]
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
-        yield fourcc, pos + 8, size
+        yield fourcc, pos + 8, min(size, end - pos - 8)
         pos += 8 + size + (size % 2)
 
 
@@ -125,9 +128,15 @@ def iter_avi_frames(
             if idx % every_n:
                 continue
             try:
-                yield idx, decode_jpeg(data[start : start + size])
-            except ImageDecodeError:
+                frame = decode_jpeg(data[start : start + size])
+                if frame.size == 0:  # zero-dim SOF: torn, skip
+                    continue
+            except (ValueError, struct.error, IndexError):
+                # torn frame (ImageDecodeError is a ValueError; numpy
+                # raises plain ValueError/IndexError on short buffers)
+                # must not kill the blob
                 continue
+            yield idx, frame
             emitted += 1
             if max_frames is not None and emitted >= max_frames:
                 return

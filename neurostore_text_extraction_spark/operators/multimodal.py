@@ -72,7 +72,6 @@ _MAGIC = (
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
-    (b"BM", "image/bmp"),
     (b"ID3", "audio/mpeg"),
     (b"\x1a\x45\xdf\xa3", "video/webm"),
     (b"%PDF-", "application/pdf"),
@@ -85,6 +84,15 @@ def sniff_media_type(data: bytes) -> str:
         if data[8:12] == b"AVI ":
             return "video/x-msvideo"
         return "audio/wav"
+    if data[:2] == b"BM" and len(data) >= 26:
+        # 'BM' alone is a 2-byte magic that ASCII text hits constantly
+        # ("BMW…", "BMI…"); require a plausible BITMAPFILEHEADER too:
+        # the pixel-data offset at bytes 10-13 must land inside the
+        # blob past the minimal 14+12-byte headers (text there decodes
+        # to >= 0x20202020, far beyond any real blob)
+        off = int.from_bytes(data[10:14], "little")
+        if 26 <= off <= len(data):
+            return "image/bmp"
     for magic, mt in _MAGIC:
         if data[: len(magic)] == magic:
             return mt
@@ -260,8 +268,9 @@ def image_stats(
                 h, w = img.shape[:2]
                 ch = 1 if img.ndim == 2 else img.shape[2]
                 flat = img.reshape(-1).astype(np.int64)
+                gray = to_gray(img)  # one luma pass shared by all four
                 counts = np.bincount(
-                    to_gray(img).astype(np.uint8).reshape(-1), minlength=256
+                    gray.astype(np.uint8).reshape(-1), minlength=256
                 )
                 p = counts[counts > 0] / counts.sum()
                 rows.append(
@@ -271,9 +280,9 @@ def image_stats(
                         float(flat.mean()),
                         float(flat.std()),
                         float(-(p * np.log2(p)).sum()),
-                        ahash64(img),
-                        dhash64(img),
-                        phash64(img),
+                        ahash64(img, gray),
+                        dhash64(img, gray),
+                        phash64(img, gray),
                         None,
                     )
                 )
@@ -525,6 +534,7 @@ def video_frames(
                 if blob is None:
                     rows.append((bid, None, None, None, None, None, None, "null blob"))
                     continue
+                n_emitted = 0
                 try:
                     for idx, frame in iter_avi_frames(
                         bytes(blob), every_n=every_n, max_frames=max_frames
@@ -537,8 +547,19 @@ def video_frames(
                                 float(to_gray(frame).mean()), ahash64(frame), None,
                             )
                         )
+                        n_emitted += 1
                 except VideoDecodeError as e:
                     rows.append((bid, None, None, None, None, None, None, str(e)[:200]))
+                    continue
+                if n_emitted == 0:
+                    # a parseable container whose every sampled frame is
+                    # torn (or that holds zero frames) must not vanish
+                    # silently — emit ONE error row so audits can tell
+                    # "nothing decodable" from "blob never existed"
+                    rows.append(
+                        (bid, None, None, None, None, None, None,
+                         "no decodable frames")
+                    )
             yield _typed_pdf(rows, VIDEO_FRAMES_SCHEMA)
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
@@ -567,7 +588,6 @@ def shared_signature_pairs(
     quadratic; overlap is one groupBy per pair. Returns
     (id_a, id_b, <shared_alias>, overlap)."""
     sig = sig.select(F.col(id_col).alias("vid"), F.col(sig_col).alias("_sig")).distinct()
-    per_blob = sig.groupBy("vid").agg(F.count("*").alias("n_sig"))
     hot = (
         sig.groupBy("_sig")
         .agg(F.count("*").alias("sig_df"))
@@ -575,6 +595,12 @@ def shared_signature_pairs(
         .select("_sig")
     )
     cold = sig.join(F.broadcast(hot), "_sig", "left_anti")
+    # denominator over the SAME anti-joined set as the numerator: if
+    # n_sig counted the full set, two identical clips dominated by
+    # ubiquitous signatures (title cards, silence) would score
+    # cold_shared/full_size and drop below min_overlap despite being
+    # true duplicates
+    per_blob = cold.groupBy("vid").agg(F.count("*").alias("n_sig"))
     a = cold.select(F.col("vid").alias("id_a"), "_sig")
     b = cold.select(F.col("vid").alias("id_b"), "_sig")
     shared = (

@@ -27,12 +27,13 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 from collections import Counter
 
-PKG = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "neurostore_text_extraction_spark",
-)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+
+PKG = os.path.join(_REPO_ROOT, "neurostore_text_extraction_spark")
 SEEDS_DIR = os.path.join(PKG, "resources", "langid_seeds")
 OUT_PATH = os.path.join(PKG, "resources", "langid_profiles.json")
 
@@ -41,20 +42,12 @@ TOPK = 600  # per-language ngram budget; union vocab stays ~10k
 TRAIN_LINES = 14  # lines 0-13 train; 14+ are the held-out test set
 
 
-def normalize(text: str) -> str:
-    """Lowercase, strip digits, collapse runs of whitespace/punct to a
-    single space, pad — identical in trainer and scorer (the contract
-    lives in functions/langid.py which re-exports this)."""
-    out = []
-    prev_space = True
-    for ch in text.lower():
-        if ch.isalpha():
-            out.append(ch)
-            prev_space = False
-        elif not prev_space:
-            out.append(" ")
-            prev_space = True
-    return " " + "".join(out).strip() + " "
+# the normalization contract lives in the SCORER — importing it (not
+# copying it) guarantees trainer and scorer can never skew apart; any
+# edit to functions/langid.normalize retrains against the same bytes
+from neurostore_text_extraction_spark.functions.langid import (  # noqa: E402
+    normalize,
+)
 
 
 def ngrams(text: str) -> Counter:

@@ -321,3 +321,76 @@ def test_extract_features_real_decode(spark):
     expect = box_downsample(to_gray(arr), 4, 4).reshape(-1) / 255.0
     assert np.allclose(rows["img"].features, expect)
     assert rows["jpeg"].features is None  # fault-isolated, not fatal
+
+
+# ------------------------------- fault-isolation hardening (round 5)
+
+
+def test_zero_dimension_png_is_typed_error_not_crash(spark):
+    """w or h = 0 in a declared IHDR decodes to an empty array that
+    would crash the perceptual hashes outside the UDF's per-row try —
+    decode_image must reject it as ImageDecodeError and image_stats
+    must emit a decode_error row, never fail the task."""
+    import struct as _s
+    import zlib as _z
+
+    def _chunk(ctype, body):
+        return (
+            _s.pack(">I", len(body)) + ctype + body
+            + _s.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    zero_h = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 0, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", _z.compress(b""))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ImageDecodeError, match="zero-dimension"):
+        decode_image(zero_h)
+    rows = {
+        r["blob_id"]: r
+        for r in MM.image_stats(_blob_frame(spark, [("z", zero_h)])).collect()
+    }
+    assert rows["z"].decode_error is not None and rows["z"].ahash is None
+
+
+def test_numpy_valueerrors_surface_as_image_decode_error():
+    """Malformed palettes raise plain ValueError out of numpy (reshape
+    / frombuffer) — decode_image must convert them to ImageDecodeError
+    so the UDFs' per-row isolation catches them."""
+    import struct as _s
+    import zlib as _z
+
+    def _chunk(ctype, body):
+        return (
+            _s.pack(">I", len(body)) + ctype + body
+            + _s.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # PLTE of 4 bytes: not a multiple of 3 → reshape ValueError
+    bad_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", b"\x00\x01\x02\x03")
+        + _chunk(b"IDAT", _z.compress(b"\x00\x00\x00\x00\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ImageDecodeError):
+        decode_image(bad_plte)
+    # GIF claiming a 256-color global palette with 2 bytes present
+    bad_gif = b"GIF89a" + b"\x02\x00\x02\x00" + b"\xf7\x00\x00" + b"\x01\x02"
+    with pytest.raises(ImageDecodeError):
+        decode_image(bad_gif)
+
+
+def test_bmp_sniff_requires_plausible_header():
+    """'BM' alone is a 2-byte magic ASCII text hits constantly — the
+    sniffer must also require a plausible pixel-offset field, so text
+    blobs stay octet-stream (and keep matching the SQL oracle)."""
+    assert (
+        MM.sniff_media_type(b"BMW and BMI are not bitmaps, " * 4)
+        == "application/octet-stream"
+    )
+    real = encode_bmp(_img(4, 4, 3))
+    assert MM.sniff_media_type(real) == "image/bmp"

@@ -146,3 +146,76 @@ def test_video_operators(spark):
     # fault rows: one per undecodable blob
     assert sum(1 for r in rows if r["blob_id"] == "junk") == 1
     assert sum(1 for r in rows if r["blob_id"] == "nul") == 1
+
+
+# ------------------------------- fault-isolation hardening (round 5)
+
+
+def test_truncated_avi_is_typed_error_not_struct_error(spark):
+    """Header parsers walk DECLARED chunk sizes; a file cut mid-header
+    must surface as VideoDecodeError (→ decode_error row), never a raw
+    struct.error that kills the Spark task."""
+    from neurostore_text_extraction_spark.operators.multimodal import video_stats
+
+    full = encode_avi_mjpeg(_frames(2), fps=5)
+    for cut in (40, 60, 100, len(full) // 2):
+        trunc = full[:cut]
+        try:
+            avi_metadata(trunc)
+        except VideoDecodeError:
+            pass  # typed failure is fine; silent partial parse is too
+    df = spark.createDataFrame(
+        [("t", bytearray(full[:40]))], "blob_id string, blob binary"
+    )
+    rows = video_stats(df).collect()
+    assert len(rows) == 1  # one row, task alive
+
+
+def test_all_frames_torn_emits_error_row(spark):
+    """A parseable container whose every frame is corrupt must emit ONE
+    'no decodable frames' row — not vanish from the output."""
+    from neurostore_text_extraction_spark.operators.multimodal import video_frames
+
+    avi = bytearray(encode_avi_mjpeg(_frames(2), fps=5, quality=90))
+    movi = avi.index(b"movi")
+    pos = movi
+    while True:
+        try:
+            pos = avi.index(b"00dc", pos + 4)
+        except ValueError:
+            break
+        if pos > avi.index(b"idx1") if b"idx1" in avi else False:
+            break
+        avi[pos + 10 : pos + 60] = b"\x00" * 50  # shred each payload head
+    df = spark.createDataFrame(
+        [("torn", bytearray(bytes(avi)))], "blob_id string, blob binary"
+    )
+    rows = video_frames(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["decode_error"] == "no decodable frames"
+    assert rows[0]["ahash"] is None
+
+
+def test_shared_signature_pairs_denominator_over_cold_set(spark):
+    """Two identical clips dominated by ubiquitous signatures (title
+    cards / silence) must still pair: overlap's denominator counts the
+    SAME hot-filtered set as the numerator, so cold_shared/cold_size =
+    1.0, not cold_shared/full_size."""
+    from neurostore_text_extraction_spark.operators.multimodal import (
+        shared_signature_pairs,
+    )
+
+    rows = []
+    # A and B: 8 hot sigs (shared with 10 other blobs each) + 2 cold
+    for sig in range(8):
+        for blob in ["A", "B"] + [f"x{i}" for i in range(10)]:
+            rows.append((blob, sig))
+    rows += [("A", 100), ("A", 101), ("B", 100), ("B", 101)]
+    sig = spark.createDataFrame(rows, "blob_id string, s long")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in shared_signature_pairs(
+            sig, "blob_id", "s", min_overlap=0.5, max_sig_df=5
+        ).collect()
+    }
+    assert pairs[("A", "B")] == 1.0
