@@ -495,8 +495,8 @@ def _keep_set(candidate: _Node) -> set[int]:
                 keep.add(id(sib))
     # Climb: back matter often hangs off an ANCESTOR of the winning
     # node (PMC/Elsevier: article > div.body > div > sections, with
-    # acknowledgments / appendices / footnotes as siblings one or two
-    # levels up). At each of the next 2 ancestor levels keep siblings
+    # acknowledgments / appendices / footnotes as siblings up to three
+    # levels up). At each of the next 3 ancestor levels keep siblings
     # that are semantically article-shaped — same-tag <section>/
     # <article>, or a positive content hint — never negative-hinted
     # ones; per-block boilerplate classification still applies inside.

@@ -227,11 +227,17 @@ def _encode_block(bw, block, dc_codes, ac_codes, pred):
 
 
 def encode_jpeg(
-    arr: np.ndarray, quality: int = 75, subsample: str = "4:2:0"
+    arr: np.ndarray,
+    quality: int = 75,
+    subsample: str = "4:2:0",
+    interleaved: bool = True,
 ) -> bytes:
     """Serialize (H, W), (H, W, 1) gray or (H, W, 3) RGB uint8 to a
     baseline JFIF stream. Grayscale emits one component; color emits
-    BT.601 YCbCr with the requested chroma subsampling."""
+    BT.601 YCbCr with the requested chroma subsampling.
+    ``interleaved=False`` emits one SOS per component (the T.81
+    non-interleaved sequential layout some encoders produce) — used to
+    fixture the decoder's Ns=1 branch; pixel output is identical."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
@@ -300,31 +306,52 @@ def encode_jpeg(
     for tclass, (bits, vals) in tables:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tclass])
         out += bytes(bits) + bytes(vals)
-    # SOS
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
-    for cid, _, tq in comps:
-        out += bytes([cid, 0x00 if tq == 0 else 0x11])
-    out += b"\x00\x3f\x00"
+    if interleaved or gray:
+        # SOS
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+        for cid, _, tq in comps:
+            out += bytes([cid, 0x00 if tq == 0 else 0x11])
+        out += b"\x00\x3f\x00"
 
-    # ---- entropy-coded MCU stream
-    bw = _BitWriter()
-    ph, pw = planes[1].shape
-    mcu_rows, mcu_cols = ph // (8 * sv), pw // (8 * sh)
-    ybpr = pw // 8  # luma blocks per row
-    preds = {cid: 0 for cid, _, _ in comps}
-    for mr in range(mcu_rows):
-        for mc in range(mcu_cols):
-            for v in range(sv):
-                for hh in range(sh):
-                    bi = (mr * sv + v) * ybpr + (mc * sh + hh)
-                    preds[1] = _encode_block(bw, zz[1][bi], dc_l, ac_l, preds[1])
-            if not gray:
-                cbpr = planes[2].shape[1] // 8
-                bi = mr * cbpr + mc
-                preds[2] = _encode_block(bw, zz[2][bi], dc_c, ac_c, preds[2])
-                preds[3] = _encode_block(bw, zz[3][bi], dc_c, ac_c, preds[3])
-    bw.flush()
-    out += bw.out
+        # ---- entropy-coded MCU stream
+        bw = _BitWriter()
+        ph, pw = planes[1].shape
+        mcu_rows, mcu_cols = ph // (8 * sv), pw // (8 * sh)
+        ybpr = pw // 8  # luma blocks per row
+        preds = {cid: 0 for cid, _, _ in comps}
+        for mr in range(mcu_rows):
+            for mc in range(mcu_cols):
+                for v in range(sv):
+                    for hh in range(sh):
+                        bi = (mr * sv + v) * ybpr + (mc * sh + hh)
+                        preds[1] = _encode_block(bw, zz[1][bi], dc_l, ac_l, preds[1])
+                if not gray:
+                    cbpr = planes[2].shape[1] // 8
+                    bi = mr * cbpr + mc
+                    preds[2] = _encode_block(bw, zz[2][bi], dc_c, ac_c, preds[2])
+                    preds[3] = _encode_block(bw, zz[3][bi], dc_c, ac_c, preds[3])
+        bw.flush()
+        out += bw.out
+    else:
+        # one SOS per component; each walks its UNPADDED block grid
+        # (cw × ch) raster-order — the layout the decoder's
+        # _decode_baseline_noninterleaved branch consumes
+        hmax, vmax = sh, sv
+        for cid, (csh, csv), tq in comps:
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes([cid, 0x00 if tq == 0 else 0x11])
+            out += b"\x00\x3f\x00"
+            cw = ((w * csh + hmax - 1) // hmax + 7) // 8
+            ch = ((h * csv + vmax - 1) // vmax + 7) // 8
+            bpr = planes[cid].shape[1] // 8  # padded blocks per row
+            dc, ac = (dc_l, ac_l) if tq == 0 else (dc_c, ac_c)
+            bw = _BitWriter()
+            pred = 0
+            for r in range(ch):
+                for col in range(cw):
+                    pred = _encode_block(bw, zz[cid][r * bpr + col], dc, ac, pred)
+            bw.flush()
+            out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -439,6 +466,26 @@ class _HuffTable:
         return e >> 5
 
 
+# LUT construction costs ~0.6 ms/table (65,536-entry fill), which
+# measured at ~40% of a small MJPEG frame's whole decode — and every
+# frame of a clip (and most web JPEGs) carries the SAME four Annex-K
+# tables. Memoize on the raw (bits, vals) spec; bounded so adversarial
+# streams with thousands of distinct tables can't grow worker memory.
+_HUFF_CACHE: dict = {}
+_HUFF_CACHE_MAX = 256
+
+
+def _huff_table(bits, vals) -> _HuffTable:
+    key = (bytes(bits), bytes(vals))
+    t = _HUFF_CACHE.get(key)
+    if t is None:
+        if len(_HUFF_CACHE) >= _HUFF_CACHE_MAX:
+            _HUFF_CACHE.clear()
+        t = _HuffTable(bits, vals)
+        _HUFF_CACHE[key] = t
+    return t
+
+
 def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
@@ -494,6 +541,45 @@ def _decode_baseline_scan(segs, scan_comps, huff, ri, mcu_rows, mcu_cols):
                             raise ImageDecodeError("AC run past block end")
                         blk[k] = _extend(br.get(s), s)
                         k += 1
+
+
+def _decode_baseline_noninterleaved(segs, c, huff, ri):
+    """One NON-interleaved sequential scan (T.81 allows Ns=1 per scan
+    for SOF0 too — some encoders emit Y, Cb, Cr as three scans): the
+    MCU is a single data unit and the scan walks the component's
+    UNPADDED block grid (cw × ch) in raster order, restart interval
+    counted in blocks."""
+    dct = huff.get(c["td"])
+    act = huff.get(0x10 | c["ta"])
+    if dct is None or act is None:
+        raise ImageDecodeError("missing Huffman table")
+    seg_i = 0
+    br = _EntropyReader(segs[0])
+    pred = 0
+    for m in range(c["ch"] * c["cw"]):
+        if ri and m and m % ri == 0:
+            seg_i += 1
+            br = _EntropyReader(segs[seg_i] if seg_i < len(segs) else b"")
+            pred = 0
+        r, col = divmod(m, c["cw"])
+        blk = c["coef"][r * c["bw"] + col]
+        s = dct.decode(br)
+        pred += _extend(br.get(s), s) if s else 0
+        blk[0] = pred
+        k = 1
+        while k < 64:
+            rs = act.decode(br)
+            r2, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r2 == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r2
+            if k > 63:
+                raise ImageDecodeError("AC run past block end")
+            blk[k] = _extend(br.get(s), s)
+            k += 1
 
 
 def _decode_dc_scan(segs, scan_comps, huff, ah, al, ri, mcu_rows, mcu_cols):
@@ -686,7 +772,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(b[1:17])
                 n = sum(bits)
                 vals = list(b[17 : 17 + n])
-                huff[(tc << 4) | th] = _HuffTable(bits, vals)
+                huff[(tc << 4) | th] = _huff_table(bits, vals)
                 b = b[17 + n :]
         elif marker in (0xC0, 0xC1, 0xC2):  # sequential or progressive SOF
             progressive = marker == 0xC2
@@ -734,13 +820,23 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             ah, al = a >> 4, a & 0x0F
             segs, pos = _entropy_segments(data, pos + 2 + seglen)
             if not progressive:
-                if len(scan_comps) != len(comps):
-                    raise ImageDecodeError(
-                        "sequential scan must cover all components"
+                if len(scan_comps) == 1 and len(comps) > 1:
+                    # non-interleaved sequential: one component per
+                    # scan, walked over its own unpadded block grid
+                    _decode_baseline_noninterleaved(
+                        segs, scan_comps[0], huff, restart_interval
                     )
-                _decode_baseline_scan(
-                    segs, scan_comps, huff, restart_interval, mcu_rows, mcu_cols
-                )
+                elif len(scan_comps) != len(comps):
+                    # partial multi-component interleaves (1 < Ns < Nf)
+                    # are spec-legal but unseen in the wild; typed error
+                    raise ImageDecodeError(
+                        "sequential scan must cover all components or one"
+                    )
+                else:
+                    _decode_baseline_scan(
+                        segs, scan_comps, huff, restart_interval,
+                        mcu_rows, mcu_cols,
+                    )
             elif ss == 0:  # DC scan (se must be 0 per G.1.1.1.1)
                 if se != 0:
                     raise ImageDecodeError("progressive DC scan with Se != 0")

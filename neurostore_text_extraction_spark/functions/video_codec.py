@@ -115,31 +115,39 @@ def iter_avi_frames(
     every_n = max(int(every_n), 1)
     emitted = 0
     idx = -1
-    stack = [(meta["_movi_start"], meta["_movi_end"])]
-    while stack:
-        lo, hi = stack.pop(0)
+
+    def _frame_chunks(lo: int, hi: int):
+        """Depth-first: 'LIST rec ' groups expand IN PLACE, so frame
+        order (and therefore frame_idx / every_n striding) follows the
+        container's temporal order even when bare and rec-wrapped
+        frames interleave."""
         for fourcc, start, size in _walk_chunks(data, lo, hi):
             if fourcc == b"LIST" and data[start : start + 4] == b"rec ":
-                stack.append((start + 4, start + size))
+                yield from _frame_chunks(start + 4, start + size)
+            else:
+                yield fourcc, start, size
+
+    for fourcc, start, size in _frame_chunks(
+        meta["_movi_start"], meta["_movi_end"]
+    ):
+        if fourcc[2:4] not in (b"dc", b"db"):
+            continue
+        idx += 1
+        if idx % every_n:
+            continue
+        try:
+            frame = decode_jpeg(data[start : start + size])
+            if frame.size == 0:  # zero-dim SOF: torn, skip
                 continue
-            if fourcc[2:4] not in (b"dc", b"db"):
-                continue
-            idx += 1
-            if idx % every_n:
-                continue
-            try:
-                frame = decode_jpeg(data[start : start + size])
-                if frame.size == 0:  # zero-dim SOF: torn, skip
-                    continue
-            except (ValueError, struct.error, IndexError):
-                # torn frame (ImageDecodeError is a ValueError; numpy
-                # raises plain ValueError/IndexError on short buffers)
-                # must not kill the blob
-                continue
-            yield idx, frame
-            emitted += 1
-            if max_frames is not None and emitted >= max_frames:
-                return
+        except (ValueError, struct.error, IndexError):
+            # torn frame (ImageDecodeError is a ValueError; numpy
+            # raises plain ValueError/IndexError on short buffers)
+            # must not kill the blob
+            continue
+        yield idx, frame
+        emitted += 1
+        if max_frames is not None and emitted >= max_frames:
+            return
 
 
 def avi_metadata(data: bytes) -> dict:

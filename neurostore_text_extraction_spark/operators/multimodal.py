@@ -26,8 +26,9 @@ as WAV) and decodes sampled frames through the JPEG codec, so
 :func:`video_stats` (header-only metadata) and :func:`video_frames`
 (bounded frame-sample -> per-frame aHash rows) run without ffmpeg.
 
-Progressive JPEG (SOF2), compressed audio (MP3/AAC) and inter-frame
-video codecs (H.264/VP9) remain honestly out of scope: those raise
+Compressed audio (MP3/AAC) and inter-frame video codecs (H.264/VP9)
+remain honestly out of scope (JPEG decodes for real — baseline AND
+progressive SOF2): those raise
 ``NotImplementedError``/``ImageDecodeError`` from :func:`decode_blob`
 (or a ``decode_error`` row from the stats operators) unless the
 deterministic fake is requested — the
@@ -81,9 +82,16 @@ _MAGIC = (
 def sniff_media_type(data: bytes) -> str:
     if data[:4] == b"RIFF":
         # RIFF is a container family: the form type at offset 8 decides
-        if data[8:12] == b"AVI ":
+        # (WAVE/AVI /WEBP are all RIFF — a bare-RIFF fallback to audio
+        # would publish WebP images, ubiquitous in web crawls, as wav)
+        form = data[8:12]
+        if form == b"AVI ":
             return "video/x-msvideo"
-        return "audio/wav"
+        if form == b"WAVE":
+            return "audio/wav"
+        if form == b"WEBP":
+            return "image/webp"
+        return "application/octet-stream"
     if data[:2] == b"BM" and len(data) >= 26:
         # 'BM' alone is a 2-byte magic that ASCII text hits constantly
         # ("BMW…", "BMI…"); require a plausible BITMAPFILEHEADER too:

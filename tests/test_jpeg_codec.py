@@ -196,3 +196,41 @@ def test_image_stats_decodes_jpeg_blobs(spark):
     # pixel stats reflect the actual signal, not a fake decode
     assert abs(r["mean_px"] - float(img.mean())) < 3.0
     assert r["ahash"] is not None
+
+
+def test_noninterleaved_sequential_scans_decode_identically():
+    """T.81 allows baseline images encoded as one scan PER component
+    (Ns=1); some encoders emit this. The Ns=1 decoder branch must
+    reproduce the interleaved decode bit-for-bit (same coefficients,
+    different scan order only)."""
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack(
+        [128 + 80 * np.sin(xx / 6.0), 128 + 70 * np.cos(yy / 5.0), (xx * 3 + yy * 2) % 256],
+        -1,
+    ).astype(np.uint8)
+    for sub in ("4:4:4", "4:2:2", "4:2:0"):
+        a = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+        b = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub, interleaved=False))
+        assert np.array_equal(a, b), sub
+    # odd dimensions exercise the unpadded cw/ch walk vs the padded grid
+    odd = img[:30, :41]
+    a = decode_jpeg(encode_jpeg(odd, quality=85, subsample="4:2:0"))
+    b = decode_jpeg(encode_jpeg(odd, quality=85, subsample="4:2:0", interleaved=False))
+    assert a.shape == (30, 41, 3) and np.array_equal(a, b)
+
+
+def test_huffman_lut_memoized_across_decodes():
+    """Every MJPEG frame carries the same DHT bytes; the 65k-entry LUT
+    must be built once and shared, not rebuilt per blob (~40% of a
+    small frame's decode cost)."""
+    from neurostore_text_extraction_spark.functions import jpeg_codec as J
+
+    img = np.full((16, 16), 99, np.uint8)
+    blob = encode_jpeg(img, quality=80)
+    J._HUFF_CACHE.clear()
+    decode_jpeg(blob)
+    n1 = len(J._HUFF_CACHE)
+    tables_before = {k: id(v) for k, v in J._HUFF_CACHE.items()}
+    decode_jpeg(blob)
+    assert len(J._HUFF_CACHE) == n1  # no new entries
+    assert {k: id(v) for k, v in J._HUFF_CACHE.items()} == tables_before

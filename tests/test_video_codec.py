@@ -219,3 +219,50 @@ def test_shared_signature_pairs_denominator_over_cold_set(spark):
         ).collect()
     }
     assert pairs[("A", "B")] == 1.0
+
+
+def test_rec_list_frames_keep_temporal_order():
+    """'LIST rec ' groups must expand IN PLACE: an interleaved layout
+    [rec(f0,f1), f2, rec(f3)] yields frames 0,1,2,3 in temporal order,
+    not BFS order 2,0,1,3."""
+    from neurostore_text_extraction_spark.functions.video_codec import (
+        _chunk,
+        _list,
+    )
+    from neurostore_text_extraction_spark.functions.jpeg_codec import encode_jpeg
+
+    frames = _frames(4)
+    jpegs = [encode_jpeg(f, quality=90) for f in frames]
+    base = bytearray(encode_avi_mjpeg(frames, fps=5, quality=90))
+    # rebuild the movi body with mixed rec-wrapped and bare frames
+    movi_body = (
+        b"movi"
+        + _list(b"rec ", _chunk(b"00dc", jpegs[0]) + _chunk(b"00dc", jpegs[1]))
+        + _chunk(b"00dc", jpegs[2])
+        + _list(b"rec ", _chunk(b"00dc", jpegs[3]))
+    )
+    movi_at = base.index(b"LIST", base.index(b"movi") - 8)
+    import struct as _s
+
+    new = bytes(base[:movi_at]) + _chunk(b"LIST", movi_body)
+    # fix the RIFF size
+    new = b"RIFF" + _s.pack("<I", len(new) - 8) + new[8:]
+    got = list(iter_avi_frames(new))
+    assert [i for i, _ in got] == [0, 1, 2, 3]
+    for (idx, frame), orig in zip(got, frames):
+        assert frame.shape == orig.shape
+        # frame content must correspond to the SAME temporal frame
+        assert abs(float(frame.astype(int).mean()) - float(orig.astype(int).mean())) < 3.0
+
+
+def test_webp_riff_sniffed_as_image_not_wav():
+    from neurostore_text_extraction_spark.operators.multimodal import (
+        sniff_media_type,
+    )
+    import struct as _s
+
+    webp = b"RIFF" + _s.pack("<I", 12) + b"WEBPVP8 " + b"\x00" * 8
+    assert sniff_media_type(webp) == "image/webp"
+    assert sniff_media_type(b"RIFF\x04\x00\x00\x00JUNK") == "application/octet-stream"
+    wav = b"RIFF" + _s.pack("<I", 4) + b"WAVE"
+    assert sniff_media_type(wav) == "audio/wav"
