@@ -580,12 +580,18 @@ def phash64(arr: np.ndarray, gray: np.ndarray | None = None) -> int:
     """Perceptual (DCT) hash: gray → 32×32 box mean → 2-D orthonormal
     DCT-II → top-left 8×8 low-frequency block → bit i (row-major, LSB
     first) set iff coefficient > the block's median. The standard
-    pHash construction (imagehash/pHash.org, public): comparing
-    low-frequency coefficients to their median makes the hash invariant
-    to global brightness/contrast changes (affine px → a·px + b scales
-    the AC coefficients and shifts only DC, so the > median bits for
-    a > 0 are unchanged) and robust to blur/recompression, which the
-    edge-sensitive aHash/dHash are not. Signed 64-bit like
+    pHash construction (imagehash/pHash.org, public): affine edits
+    px → a·px + b scale the AC coefficients uniformly and shift only
+    DC, so the > median bits survive brightness/contrast changes, and
+    the low-frequency basis shrugs off recompression ringing and
+    sharpening that perturb pixel-domain hashes. Complementary to
+    aHash/dHash, not strictly stronger: on SPECTRALLY SPARSE images
+    (flat logos, screenshots) most of the 8×8 block is ~0, the median
+    splits a cluster of near-identical values, and re-encode noise can
+    flip many bits where the mean-relative aHash stays exact — measured
+    on real photos pHash is Hamming-0 under brightness+re-encode, on
+    pure-sinusoid synthetics it is not. Use both columns; exact-match
+    candidate generation should default to aHash. Signed 64-bit like
     :func:`ahash64`."""
     g = box_downsample(to_gray(arr) if gray is None else gray, 32, 32)
     d = _PHASH_DCT32 @ g @ _PHASH_DCT32.T

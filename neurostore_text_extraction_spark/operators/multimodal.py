@@ -509,6 +509,7 @@ VIDEO_FRAMES_SCHEMA = T.StructType(
         T.StructField("channels", T.IntegerType(), True),
         T.StructField("mean_px", T.DoubleType(), True),
         T.StructField("ahash", T.LongType(), True),
+        T.StructField("phash", T.LongType(), True),
         T.StructField("decode_error", T.StringType(), True),
     ]
 )
@@ -540,7 +541,7 @@ def video_frames(
             for bid, blob in zip(pdf[id_col], pdf[blob_col]):
                 bid = str(bid)
                 if blob is None:
-                    rows.append((bid, None, None, None, None, None, None, "null blob"))
+                    rows.append((bid,) + (None,) * 7 + ("null blob",))
                     continue
                 n_emitted = 0
                 try:
@@ -549,25 +550,26 @@ def video_frames(
                     ):
                         h, w = frame.shape[:2]
                         ch = 1 if frame.ndim == 2 else frame.shape[2]
+                        gray = to_gray(frame)  # shared by mean + both hashes
                         rows.append(
                             (
                                 bid, int(idx), int(w), int(h), int(ch),
-                                float(to_gray(frame).mean()), ahash64(frame), None,
+                                float(gray.mean()),
+                                ahash64(frame, gray),
+                                phash64(frame, gray),
+                                None,
                             )
                         )
                         n_emitted += 1
                 except VideoDecodeError as e:
-                    rows.append((bid, None, None, None, None, None, None, str(e)[:200]))
+                    rows.append((bid,) + (None,) * 7 + (str(e)[:200],))
                     continue
                 if n_emitted == 0:
                     # a parseable container whose every sampled frame is
                     # torn (or that holds zero frames) must not vanish
                     # silently — emit ONE error row so audits can tell
                     # "nothing decodable" from "blob never existed"
-                    rows.append(
-                        (bid, None, None, None, None, None, None,
-                         "no decodable frames")
-                    )
+                    rows.append((bid,) + (None,) * 7 + ("no decodable frames",))
             yield _typed_pdf(rows, VIDEO_FRAMES_SCHEMA)
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
@@ -640,19 +642,27 @@ def video_near_dup_pairs(
     max_frames: int | None = 32,
     min_overlap: float = 0.5,
     max_hash_df: int = 50,
+    hash_col: str = "ahash",
 ) -> DataFrame:
     """Clip-level video near-dup: two videos pair when the fraction of
-    shared sampled-frame aHashes ≥ ``min_overlap`` of the smaller
+    shared sampled-frame hashes ≥ ``min_overlap`` of the smaller
     clip's distinct signatures — re-encoded/re-quality'd copies share
-    frame hashes (aHash survives recompression), unrelated clips share
-    none. Candidate generation + overlap scoring are the shared
-    :func:`shared_signature_pairs` machinery (hot-hash anti-join, no
-    all-pairs scan). Returns (id_a, id_b, shared_frames, overlap)."""
+    frame hashes, unrelated clips share none. ``hash_col`` picks the
+    frame signature: "ahash" (default — mean-relative, exact under
+    brightness/contrast edits AND on flat frames) or "phash" (DCT —
+    complementary; steadier under sharpening/ringing on textured
+    frames, but see the sparse-spectrum caveat on
+    :func:`..functions.image_codec.phash64`). Candidate generation +
+    overlap scoring are
+    the shared :func:`shared_signature_pairs` machinery (hot-hash
+    anti-join, no all-pairs scan). Returns
+    (id_a, id_b, shared_frames, overlap)."""
     sig = video_frames(
         df, id_col, blob_col, every_n=every_n, max_frames=max_frames
-    ).where(F.col("ahash").isNotNull())
+    ).where(F.col(hash_col).isNotNull())
     return shared_signature_pairs(
-        sig, "blob_id", "ahash", min_overlap, max_hash_df, shared_alias="shared_frames"
+        sig, "blob_id", hash_col, min_overlap, max_hash_df,
+        shared_alias="shared_frames",
     )
 
 

@@ -267,10 +267,11 @@ def _hamming64(a, b):
 
 
 def test_phash_brightness_contrast_invariant_pure():
-    """pHash's defining property vs aHash/dHash: affine px → a·px + b
-    scales AC coefficients uniformly and shifts only DC, so the
-    >-median bits survive brightness AND contrast edits that move
-    every pixel (where aHash can flip many bits)."""
+    """Affine px → a·px + b scales AC coefficients uniformly and
+    shifts only DC, so the >-median bits survive brightness AND
+    contrast edits on textured content; distinct images stay far in
+    Hamming space (complementary to aHash — see the sparse-spectrum
+    caveat on phash64)."""
     base = _img(40, 48, 3).astype(np.float64)
     # smooth structure so the low-freq block carries real signal
     xx = np.mgrid[0:40, 0:48][1]

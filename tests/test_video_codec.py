@@ -266,3 +266,43 @@ def test_webp_riff_sniffed_as_image_not_wav():
     assert sniff_media_type(b"RIFF\x04\x00\x00\x00JUNK") == "application/octet-stream"
     wav = b"RIFF" + _s.pack("<I", 4) + b"WAVE"
     assert sniff_media_type(wav) == "audio/wav"
+
+
+def test_video_frames_phash_and_brightness_robust_near_dup(spark):
+    """Frames carry a phash column, exact vs the driver-side hash of
+    the decoded frame, and hash_col='phash' drives the clip-overlap
+    join end to end (pairing a brightness-edited re-encode of a
+    textured clip; unrelated clips stay unpaired)."""
+    from neurostore_text_extraction_spark.functions.image_codec import phash64
+    from neurostore_text_extraction_spark.functions.jpeg_codec import decode_jpeg
+    from neurostore_text_extraction_spark.operators.multimodal import (
+        video_frames,
+        video_near_dup_pairs,
+    )
+
+    frames = _frames(4)
+    brighter = [np.clip(f.astype(int) + 30, 0, 255).astype(np.uint8) for f in frames]
+    rng = np.random.RandomState(77)
+    other = [rng.randint(0, 256, frames[0].shape, np.uint8) for _ in range(4)]
+    df = spark.createDataFrame(
+        [
+            ("clip", bytearray(encode_avi_mjpeg(frames, fps=5, quality=92))),
+            ("clip_bright", bytearray(encode_avi_mjpeg(brighter, fps=5, quality=92))),
+            ("other", bytearray(encode_avi_mjpeg(other, fps=5, quality=92))),
+        ],
+        "blob_id string, blob binary",
+    )
+    fr = {(r["blob_id"], r["frame_idx"]): r for r in video_frames(df).collect()}
+    # phash column matches the driver-side hash of the DECODED frame
+    avi = bytes(encode_avi_mjpeg(frames, fps=5, quality=92))
+    from neurostore_text_extraction_spark.functions.video_codec import (
+        iter_avi_frames,
+    )
+    f0 = next(iter_avi_frames(avi))[1]
+    assert fr[("clip", 0)]["phash"] == phash64(f0)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in video_near_dup_pairs(df, hash_col="phash", min_overlap=0.5).collect()
+    }
+    assert ("clip", "clip_bright") in pairs
+    assert not any("other" in p for p in pairs)
