@@ -334,11 +334,21 @@ _DENSITY_SAMPLE = 64  # density estimate over a prefix; full scans of
 # 1000-word blocks were the profiled hot spot and add no signal
 
 
+_WORD_PUNCT = ".,;:!?()[]\"'"
+
+
 def _stopword_density(words: list[str], stopwords: frozenset) -> float:
     if not words:
         return 0.0
     sample = words[:_DENSITY_SAMPLE]
-    hits = sum(1 for w in sample if w.lower().strip(".,;:!?()[]\"'") in stopwords)
+    hits = 0
+    for w in sample:
+        # fast path first: most words carry no punctuation, and the
+        # per-word strip() was the profiled hot spot of whole-document
+        # extraction (~20% of extract_document)
+        wl = w.lower()
+        if wl in stopwords or wl.strip(_WORD_PUNCT) in stopwords:
+            hits += 1
     return hits / len(sample)
 
 
