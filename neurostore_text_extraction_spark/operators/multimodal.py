@@ -427,6 +427,7 @@ def audio_near_dup_pairs(
     max_frames: int | None = 512,
     min_overlap: float = 0.35,
     max_fp_df: int = 50,
+    eager: bool = True,
 ) -> DataFrame:
     """Clip-level audio near-dup: two clips pair when the fraction of
     shared 32-bit subfingerprints ≥ ``min_overlap`` of the smaller
@@ -444,7 +445,8 @@ def audio_near_dup_pairs(
         frame_ms=frame_ms, hop_ms=hop_ms, max_frames=max_frames,
     ).where(F.col("fp").isNotNull())
     return shared_signature_pairs(
-        sig, "blob_id", "fp", min_overlap, max_fp_df, shared_alias="shared_fps"
+        sig, "blob_id", "fp", min_overlap, max_fp_df,
+        shared_alias="shared_fps", eager=eager,
     )
 
 
@@ -584,6 +586,7 @@ def shared_signature_pairs(
     min_overlap: float,
     max_sig_df: int,
     shared_alias: str = "shared",
+    eager: bool = True,
 ) -> DataFrame:
     """Clip-level near-dup from per-frame signature rows: two blobs
     pair when the fraction of shared signatures ≥ ``min_overlap`` of
@@ -596,8 +599,25 @@ def shared_signature_pairs(
     frames, title cards, silence) are removed by a broadcast anti-join
     BEFORE the self-equi-join on signature, so no hot bucket can go
     quadratic; overlap is one groupBy per pair. Returns
-    (id_a, id_b, <shared_alias>, overlap)."""
+    (id_a, id_b, <shared_alias>, overlap).
+
+    ``eager`` (default True) persists the distinct signature frame
+    before fanning it out to its FIVE consumers (hot-signature count,
+    both self-join sides, and the two per-blob denominators). The
+    consumers group/join on different keys (_sig, vid, pair), so
+    ReuseExchange cannot dedupe them — without the persist, the plan
+    recomputes ``sig``'s lineage per consumer, and when ``sig`` comes
+    off a media-decode ``mapInPandas`` (the audio/video wrappers) that
+    means decoding every blob ~4–5×, the dominant cost of the whole
+    query (plan-verified in ``BENCH/PLANS.md`` round-5). Same
+    different-key-consumers doctrine as SimHash in ``dedup.py``. The
+    persisted frame is per-blob BOUNDED (≤ max_frames signature rows
+    per blob, integers — never raw blob bytes); the returned pair
+    frame is localCheckpointed so the persist can be released
+    immediately (see ``dedup._materialize`` for the size contract)."""
     sig = sig.select(F.col(id_col).alias("vid"), F.col(sig_col).alias("_sig")).distinct()
+    if eager:
+        sig = sig.persist()
     hot = (
         sig.groupBy("_sig")
         .agg(F.count("*").alias("sig_df"))
@@ -621,7 +641,7 @@ def shared_signature_pairs(
     )
     na = per_blob.select(F.col("vid").alias("id_a"), F.col("n_sig").alias("n_a"))
     nb = per_blob.select(F.col("vid").alias("id_b"), F.col("n_sig").alias("n_b"))
-    return (
+    result = (
         shared.join(na, "id_a")
         .join(nb, "id_b")
         .withColumn(
@@ -632,6 +652,12 @@ def shared_signature_pairs(
             "id_a", "id_b", shared_alias, F.round("overlap", 6).alias("overlap")
         )
     )
+    if eager:
+        from .dedup import _materialize
+
+        result = _materialize(result)
+        sig.unpersist()
+    return result
 
 
 def video_near_dup_pairs(
@@ -643,6 +669,7 @@ def video_near_dup_pairs(
     min_overlap: float = 0.5,
     max_hash_df: int = 50,
     hash_col: str = "ahash",
+    eager: bool = True,
 ) -> DataFrame:
     """Clip-level video near-dup: two videos pair when the fraction of
     shared sampled-frame hashes ≥ ``min_overlap`` of the smaller
@@ -662,7 +689,7 @@ def video_near_dup_pairs(
     ).where(F.col(hash_col).isNotNull())
     return shared_signature_pairs(
         sig, "blob_id", hash_col, min_overlap, max_hash_df,
-        shared_alias="shared_frames",
+        shared_alias="shared_frames", eager=eager,
     )
 
 

@@ -306,3 +306,51 @@ def test_video_frames_phash_and_brightness_robust_near_dup(spark):
     }
     assert ("clip", "clip_bright") in pairs
     assert not any("other" in p for p in pairs)
+
+
+def test_shared_signature_pairs_single_decode_pass(spark):
+    """The signature source must be computed EXACTLY ONCE in eager
+    mode: shared_signature_pairs fans the sig frame out to five
+    different-key consumers (hot count, both self-join sides, two
+    per-blob denominators), and when sig comes off a media-decode
+    mapInPandas, recomputing it per consumer decodes every blob ~4-5x
+    (the dominant cost of the audio/video near-dup queries). The
+    eager persist pins decode to one pass; lazy mode documents the
+    recompute hazard. Counted with an accumulator inside the same
+    mapInPandas hop the real decode operators use."""
+    import pandas as pd
+
+    from neurostore_text_extraction_spark.operators.multimodal import (
+        shared_signature_pairs,
+    )
+
+    rows = [("A", s) for s in range(6)] + [("B", s) for s in range(6)] + [
+        ("C", s) for s in range(100, 106)
+    ]
+    base = spark.createDataFrame(rows, "blob_id string, s long")
+    n_rows = len(rows)
+
+    def run_with_counter(eager):
+        acc = spark.sparkContext.accumulator(0)
+
+        def fake_decode(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf
+
+        sig = base.mapInPandas(fake_decode, "blob_id string, s long")
+        out = sorted(
+            tuple(r)
+            for r in shared_signature_pairs(
+                sig, "blob_id", "s", min_overlap=0.5, max_sig_df=50,
+                eager=eager,
+            ).collect()
+        )
+        return out, acc.value
+
+    eager_pairs, eager_decodes = run_with_counter(eager=True)
+    lazy_pairs, lazy_decodes = run_with_counter(eager=False)
+    assert eager_pairs == lazy_pairs  # same result either way
+    assert [p[:2] for p in eager_pairs] == [("A", "B")]
+    assert eager_decodes == n_rows  # one pass, ever
+    assert lazy_decodes >= 2 * n_rows  # the hazard eager exists to kill
