@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -326,7 +327,12 @@ def ivf_build(
         # which would materialize an entire inverted list (N/k rows at
         # corpus scale) inside one aggregation buffer.
         means = (
-            assigned.select("_list", F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
+            # NULL-list rows (null / wrong-dim vectors) must not feed
+            # the update: posexplode of a mismatched-dim vector would
+            # otherwise contribute a wrong-length "mean" under a None
+            # key and crash the centroid rewrite below
+            assigned.where(F.col("_list").isNotNull())
+            .select("_list", F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
             .groupBy("_list", "_pos")
             .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
             .groupBy("_list")
@@ -625,3 +631,156 @@ def ivf_topk_indexed(
         query_id_col=query_id_col,
         method=method,
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int = 16_384,
+    method: str = "auto",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scaled
+    SEMANTIC deduplication over an embedding column — the technique
+    that makes embedding dedup feasible when the corpus is too large
+    for LSH pair joins tuned to a tight cosine threshold.
+
+    Procedure (per the paper, §3): k-means the embeddings; within each
+    cluster, order members by cosine-to-centroid ASCENDING (the paper
+    keeps the member farthest from the centroid out of each duplicate
+    group — it is the least prototypical, hence most informative,
+    exemplar) with id as the deterministic tie-break; a member is a
+    duplicate iff some earlier member in that order has cosine ≥
+    ``threshold`` with it. Exactly one member of every duplicate chain
+    survives. Complements :func:`embedding_neardup_pairs` (LSH): LSH
+    recall degrades as ``threshold`` drops toward 0.9 (bucket collision
+    probability), while within-cluster comparison is exact at ANY
+    threshold for pairs that land in the same cluster.
+
+    Spark shape, graded for 10^12 rows:
+
+    - clustering reuses :func:`ivf_build` (broadcast centroid argmin,
+      map-side-combinable mean — the corpus never collects);
+    - cosine-to-centroid is a native column over a broadcast join with
+      the k-row centroid frame — no Python;
+    - the within-cluster pass is ONE ``applyInPandas`` hop grouped by
+      cluster: per group a blocked ``X @ X.T`` (numpy, float32,
+      1024-row blocks) finds for each member the first earlier member
+      above threshold — O(c²) work but O(block·c) memory, vectorized;
+    - skew guard: clusters larger than ``max_cluster_size`` are
+      sub-split by ``xxhash64(id)`` into even blocks and deduped
+      within sub-block only — the same bounded-bucket doctrine as the
+      text-dedup caps (documented recall tradeoff on oversize
+      clusters, never an OOM or a straggler). At scale you pick
+      k ∝ N (the paper uses ~0.1·√N .. N/10k) so clusters stay small
+      and the cap never bites.
+    - NULL / wrong-dim vectors get ``_list`` NULL from ``ivf_build``
+      and pass through kept (``is_dup`` false, ``dup_of`` NULL).
+
+    Returns (id, _list, centroid_sim, is_dup, dup_of): ``dup_of`` is
+    the id of the earlier chain member that marked this row a
+    duplicate. Filter ``~is_dup`` for the deduplicated corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned, centroids = ivf_build(
+        vectors.select(F.col(id_col), F.col(vec_col)),
+        dim,
+        n_centroids=n_centroids,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        method=method,
+    )
+    spark = vectors.sparkSession
+    cents = _centroids_df(spark, centroids)
+    withsim = (
+        assigned.join(
+            F.broadcast(cents), assigned["_list"] == cents["_cid"], "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_list"),
+            cosine_col(F.col(vec_col), F.col("_cvec")).alias("centroid_sim"),
+        )
+    )
+    # sub-split oversize clusters: per-cluster counts are k rows —
+    # broadcast back; _blk is 0 for every in-cap cluster so the
+    # applyInPandas key stays (cluster) in the common case.
+    counts = withsim.groupBy("_list").agg(F.count("*").alias("_csz"))
+    withblk = withsim.join(F.broadcast(counts), "_list", "left").withColumn(
+        "_blk",
+        F.when(
+            F.col("_csz") <= F.lit(max_cluster_size), F.lit(0)
+        ).otherwise(
+            F.pmod(
+                F.xxhash64(F.col(id_col)),
+                F.ceil(F.col("_csz") / F.lit(max_cluster_size)).cast("long"),
+            ).cast("int")
+        ),
+    )
+
+    id_field = assigned.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, True),
+            T.StructField("_list", T.IntegerType(), True),
+            T.StructField("centroid_sim", T.DoubleType(), True),
+            T.StructField("is_dup", T.BooleanType(), True),
+            T.StructField(id_col + "_dup_of", id_field.dataType, True),
+        ]
+    )
+    thr = float(threshold)
+
+    def dedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "_list": pdf["_list"],
+                "centroid_sim": pdf["centroid_sim"].astype("float64"),
+                "is_dup": False,
+                id_col + "_dup_of": pd.Series([None] * len(pdf), dtype=object),
+            }
+        )
+        # NULL-cluster group (null/mismatched vectors): all kept
+        if len(pdf) < 2 or pdf["_list"].isna().all():
+            return base
+        # SemDeDup keep order: farthest-from-centroid first, id tie-break
+        order = np.lexsort(
+            (pdf[id_col].to_numpy(), pdf["centroid_sim"].to_numpy())
+        )
+        X = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float32)
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        X = X / nrm
+        ids_sorted = pdf[id_col].to_numpy()[order]
+        n = len(X)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        blk = 1024
+        for s in range(1, n, blk):
+            e = min(s + blk, n)
+            sims = X[s:e] @ X[:e].T  # (e-s, e) — block vs all-before+self
+            for r in range(e - s):
+                j = s + r
+                hits = sims[r, :j] >= thr
+                # paper rule: ANY earlier member above threshold marks
+                # j a duplicate (transitive chains collapse onto their
+                # first — i.e. farthest-from-centroid — member)
+                if hits.any():
+                    dup_of[j] = int(np.argmax(hits))
+        pos = {j: i for i, j in enumerate(order)}
+        src = np.array([pos[i] for i in range(len(pdf))], dtype=np.int64)
+        is_dup = dup_of[src] >= 0
+        base["is_dup"] = is_dup
+        base[id_col + "_dup_of"] = [
+            ids_sorted[dup_of[s_]] if dup_of[s_] >= 0 else None for s_ in src
+        ]
+        return base
+
+    return withblk.groupBy("_list", "_blk").applyInPandas(dedup_group, out_schema)
