@@ -556,3 +556,29 @@ def test_ivf_join_path_null_vector_matches_literal(spark):
     assert join_rows[1] == 0
     assert join_rows[2] is None
     assert join_rows[3] is None  # dim mismatch nulls the distance
+
+
+def test_ivf_build_tolerates_null_and_wrong_dim_vectors(spark):
+    """Regression (round 5): a corpus containing NULL or wrong-dim
+    vectors used to crash the k-means update — posexplode of a
+    mismatched-dim vector contributed a wrong-length "mean" under a
+    None list key and the centroid rewrite indexed new[None]. Such
+    rows must instead get _list NULL and stay out of the update."""
+    from neurostore_text_extraction_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, None),
+        (4, [1.0, 2.0]),  # wrong dim
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = similarity.ivf_build(
+        vecs, dim=4, n_centroids=2, n_iters=2
+    )
+    got = {r["vec_id"]: r["_list"] for r in assigned.collect()}
+    assert got[3] is None and got[4] is None
+    assert all(got[i] is not None for i in (0, 1, 2))
+    # centroids stay 4-dim (the wrong-dim row contributed nothing)
+    assert all(len(c) == 4 for c in cents)
