@@ -60,9 +60,62 @@ from neurostore_text_extraction_spark.operators.extract import extract_pages
 TOK = r"\w\w+"  # sklearn-parity token pattern (runs of >=2 word chars)
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# per-(path, parallelism) fan-out decision cache: the Hadoop FS size
+# probe is driver-side metadata only, but queries() rebuilds frames
+# many times per bench pass
+_FANOUT: dict[tuple[str, int], int] = {}
+
+
+def _scan_fanout(spark: SparkSession, path: str) -> int:
+    """Partitions to round-robin the scan into, or 0 for none.
+
+    The testdata tables are SINGLE parquet files with ONE row group, so
+    every scan stage runs as one task no matter what
+    ``maxPartitionBytes`` says — row groups are unsplittable — and all
+    per-row derivation (tokenize, shingle, md5, signature mins) lands
+    on 1 of N cores. Small-input guard: when the input's natural split
+    count is below the session parallelism, repartition right after the
+    read (the byte shuffle is bounded by the — small — input itself).
+    At scale the condition goes false: a corpus with >= cores splits is
+    left untouched, so nothing is ever shuffled just for fan-out.
+
+    Opt-in per query (measured A/B, interleaved, local[32] sf0.1): the
+    fan-out exchange pays off only where per-row derivation dominates
+    the stage (quality_features 2.5x faster — dozens of regex/HOF
+    evaluations per doc). Plans that consume the scan subtree several
+    times (minhash: 5 consumers) instead pay one extra 64-task stage
+    PER consumer and get 1.3-2x SLOWER, so fan-out stays off there."""
+    par = spark.sparkContext.defaultParallelism
+    key = (path, par)
+    if key not in _FANOUT:
+        n = 0
+        try:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            size = fs.getContentSummary(p).getLength()
+            max_split = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+            )
+            if (size + max_split - 1) // max_split < par:
+                n = par * 2  # 2 waves: smooths per-doc cost variance
+        except Exception:
+            n = 0  # unsized source: leave the scan alone
+        _FANOUT[key] = n
+    return _FANOUT[key]
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
+) -> DataFrame:
     _ensure_pkg_on_workers(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if fanout:
+        n = _scan_fanout(spark, path)
+        if n:
+            df = df.repartition(n)
+    return df
 
 
 # --- flagship -------------------------------------------------------------
@@ -208,8 +261,15 @@ def _q_dedup_clusters(spark, sf):
     emits dedup *clusters*, not just pairs. Uses the large-star/
     small-star formulation (O(log² component) rounds independent of
     graph diameter — the 10^12-doc path); the min-label-propagation
-    twin produces identical labels and stays pytest-equivalence-checked."""
-    pairs = dedup.minhash_lsh_pairs(_docs_with_neardups(spark, sf))
+    twin produces identical labels and stays pytest-equivalence-checked.
+
+    ``with_jaccard=False``: components only need the candidate-pair
+    GRAPH, so the per-pair signature re-joins (est_jaccard) are
+    skipped — same pair set, two fewer joins over the corpus-sized
+    signature frame (r6 optimization)."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs_with_neardups(spark, sf), with_jaccard=False
+    )
     return dedup.connected_components_star(pairs)
 
 
@@ -233,30 +293,57 @@ def _q_quality(spark, sf):
     through their real APIs and joined into one registry entry (the
     driver records at most ~50 correctness rows; merging same-grain
     feature queries keeps every operator oracled)."""
-    docs = _t(spark, sf, "documents")
+    # r6 optimization: the three per-doc frames are computed in ONE
+    # staged pipeline (text/tokens/words/lines → counts → outputs)
+    # instead of three corpus scans glued by two doc_id sort-merge
+    # joins — every count evaluates once per row, and the scan is
+    # fanned out (this is the most per-row-compute-heavy query in the
+    # bench; measured 2.5x from fan-out alone). Output rows/columns
+    # are identical: the joins were inner on the unique doc_id over
+    # three same-source one-row-per-doc frames.
+    docs = _t(spark, sf, "documents", fanout=True)
     # the synthetic corpus has no sentence punctuation / bullets /
     # code braces, so the C4+Gopher flags are exercised over a
     # deterministically varied wrapper (same construction in the SQL
     # twin) — every rule fires on some docs and not others
-    varied = docs.select(
-        "doc_id",
-        F.concat(
-            F.coalesce(F.col("text"), F.lit("")),
-            F.when(
-                F.col("doc_id") % 3 == 0, F.lit(" End one. End two. End three.")
-            ).otherwise(F.lit(" no sentence end")),
-            F.when(F.col("doc_id") % 5 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
-            F.when(F.col("doc_id") % 7 == 0, F.lit(" {")).otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 4 == 0,
-                F.lit("\n- bullet javascript line\nends with ..."),
-            ).otherwise(F.lit("")),
-        ).alias("text"),
+    varied_text = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit(" End one. End two. End three.")
+        ).otherwise(F.lit(" no sentence end")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" {")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("\n- bullet javascript line\nends with ..."),
+        ).otherwise(F.lit("")),
     )
-    return (
-        textquality.quality_features(docs)
-        .join(textquality.lang_id(docs), "doc_id")
-        .join(textquality.c4_gopher_filters(varied), "doc_id")
+    vb = textquality.c4_prebind_cols(F.coalesce(varied_text, F.lit("")))
+    pre = docs.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("_t"),
+        tfidf_ops.tokens_col("text").alias("_toks"),
+        vb["_t"].alias("_vt"),
+        vb["_words"].alias("_vwords"),
+        vb["_lines"].alias("_vlines"),
+    )
+    q_counts = textquality.quality_counts(F.col("_t"), F.col("_toks"))
+    l_counts = textquality.lang_counts(F.col("_toks"))
+    c_counts = textquality.c4_counts(
+        F.col("_vt"), F.col("_vwords"), F.col("_vlines")
+    )
+    mid = pre.select(
+        "doc_id",
+        *(c.alias(n) for n, c in q_counts.items()),
+        *(c.alias(n) for n, c in l_counts.items()),
+        *(c.alias(n) for n, c in c_counts.items()),
+    )
+    bound = {n: F.col(n) for n in (*q_counts, *l_counts, *c_counts)}
+    return mid.select(
+        "doc_id",
+        *(c.alias(n) for n, c in textquality.quality_out_cols(bound).items()),
+        textquality.lang_pred_col(bound).alias("lang_pred"),
+        *(c.alias(n) for n, c in textquality.c4_out_cols(bound).items()),
     )
 
 

@@ -80,6 +80,50 @@ def shingles_col(text_col: str = "text", k: int = 3):
     )
 
 
+def with_tokens(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, _toks) with the sklearn-parity token array materialized as
+    a BOUND attribute. Expressions built over ``F.col("_toks")`` then
+    evaluate the regexp tokenizer ONCE per row; the same expressions
+    built inline over ``tokens_col(text_col)`` re-run the regexp at
+    every reference — :func:`shingles_col` references the token array
+    k+1 times, so a 20-token window chain paid 21 tokenizer passes per
+    doc (measured 2.4x on the substr explode at local[32] sf0.1).
+    CollapseProject leaves the projection split exactly because
+    ``_toks`` is multiply referenced."""
+    return df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+
+
+# above this window width the windowed-concat form switches from the
+# pairwise zip_with chain (fastest at k=3: no per-window index math) to
+# one transform+slice+concat_ws per window — the chain's intermediate
+# strings cost O(k^2) bytes of copying per window (measured: k=20 chain
+# 0.94s vs transform 0.51s over sf0.1; k=3 chain 0.27s vs 0.35s)
+_SHINGLE_CHAIN_MAX_K = 6
+
+
+def shingles_from_tokens(toks: Column, k: int) -> Column:
+    """k-word shingles over an already-bound token ARRAY column —
+    identical strings to :func:`shingles_col` (space-joined windows;
+    short docs yield their full token join)."""
+    n = F.size(toks) - (k - 1)
+    if k <= _SHINGLE_CHAIN_MAX_K:
+        sh = F.slice(toks, 1, n)
+        for j in range(1, k):
+            sh = F.zip_with(
+                sh,
+                F.slice(toks, j + 1, n),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+    else:
+        sh = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    return F.when(F.size(toks) < k, F.array(F.concat_ws(" ", toks))).otherwise(sh)
+
+
 def _drop_over_cap_keys(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
     """Drop every row whose key appears more than ``cap`` times.
 
@@ -210,8 +254,9 @@ def minhash_signatures(
     of K cryptographic hashes. Min over a multiset equals min over its
     set, so no (doc, shingle) distinct shuffle is needed."""
     h = F.md5(F.col("sh"))
-    hashed = df.select(
-        F.col(id_col), F.explode(shingles_col(text_col, shingle_words)).alias("sh")
+    hashed = with_tokens(df, id_col, text_col).select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("_toks"), shingle_words)).alias("sh"),
     ).select(
         F.col(id_col),
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
@@ -248,9 +293,18 @@ def minhash_lsh_pairs(
     shingle_words: int = 3,
     bucket_cap: int = LSH_BUCKET_CAP,
     eager: bool = False,
+    with_jaccard: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band, with the
     minhash-estimated jaccard (fraction of equal signature slots).
+
+    ``with_jaccard=False`` returns just the distinct (doc_a, doc_b)
+    candidate set and skips the two per-pair signature re-joins — the
+    right input for consumers that only need the pair GRAPH (connected
+    components): the optimizer cannot drop those inner joins itself
+    because it cannot prove the signature frame is unique per doc, so
+    a pruned-column plan still re-runs the whole signature subtree
+    twice per side.
 
     Band buckets holding more than ``bucket_cap`` docs are dropped
     before the self-join (via :func:`_drop_over_cap_keys` — broadcast
@@ -305,6 +359,11 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if not with_jaccard:
+        if eager:
+            pairs = _materialize(pairs)
+            sig.unpersist()
+        return pairs
     sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("_sig_a"))
     sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("_sig_b"))
     eq_frac = (
@@ -617,18 +676,35 @@ def ngram_jaccard_pairs(
     anti-join, so the boilerplate shingle's rows never collapse into
     one window task.
 
-    ``eager=False`` (default): the distinct-shingle shuffle is
-    deduped by ReuseExchange across its four consumers within one
-    action — measured faster AND steadier than the eager
-    persist/localCheckpoint cycle (min 2.62s vs 3.20s, local[32]
-    sf0.1, 5 reps; ``BENCH/AB_MINHASH.md``). ``eager=True`` persists
-    the shingle frame for multi-action reuse."""
-    sh_all = df.select(
-        F.col(id_col), F.explode(shingles_col(text_col, shingle_words)).alias("sh")
-    ).distinct()
+    The distinct shingle sets are carried as ``xxhash64`` int64s from
+    the explode on: every downstream shuffle (distinct, df-cap count,
+    the self-join, per-doc sizes) moves 8-byte longs instead of the
+    k-word strings (guide: shuffle keys, not payloads). Identical
+    results absent int64 collisions (~n²/2^64 — the same documented
+    approximation as :func:`substr_dup_stats`; the SQL twin compares
+    on the strings).
+
+    ``eager=False`` (default) leaves the fully lazy plan: with the
+    token array bound once and the shingles hashed before any
+    exchange, re-running the (now cheap) explode per consumer beats
+    the eager persist→localCheckpoint→unpersist cycle — measured
+    interleaved at local[32] sf0.1: lazy min 1.87s vs eager 3.62s,
+    with eager showing the same first-call stalls the minhash A/B
+    documented (``BENCH/AB_MINHASH.md``). ``eager=True`` persists the
+    hashed distinct-shingle frame ((id, long) — the cheapest form the
+    operator ever holds) for MULTI-ACTION consumers."""
+    win = (
+        with_tokens(df, id_col, text_col)
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("_toks"), shingle_words)).alias("sh"),
+        )
+        .select(F.col(id_col), F.xxhash64("sh").alias("sh"))
+        .distinct()
+    )
     if eager:
-        sh_all = sh_all.persist()
-    sh = _drop_over_cap_keys(sh_all, ["sh"], max_df)
+        win = win.persist()
+    sh = _drop_over_cap_keys(win, ["sh"], max_df)
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")
@@ -655,7 +731,7 @@ def ngram_jaccard_pairs(
     )
     if eager:
         result = _materialize(result)
-        sh_all.unpersist()
+        win.unpersist()
     return result
 
 
@@ -697,10 +773,11 @@ def substr_dup_stats(
     # duplicated (and NULL-text rows diverge from the SQL twin, where
     # unnest(NULL) yields nothing)
     win = (
-        df.where(F.size(tokens_col(text_col)) > 0)
+        with_tokens(df, id_col, text_col)
+        .where(F.size(F.col("_toks")) > 0)
         .select(
             F.col(id_col),
-            F.explode(shingles_col(text_col, window_tokens)).alias("w"),
+            F.explode(shingles_from_tokens(F.col("_toks"), window_tokens)).alias("w"),
         )
         .select(F.col(id_col), F.xxhash64("w").alias("h"))
     )
