@@ -253,14 +253,18 @@ def minhash_signatures(
     (double hashing), so K=128 costs K codegen'd integer ops instead
     of K cryptographic hashes. Min over a multiset equals min over its
     set, so no (doc, shingle) distinct shuffle is needed."""
-    h = F.md5(F.col("sh"))
     hashed = with_tokens(df, id_col, text_col).select(
         F.col(id_col),
         F.explode(shingles_from_tokens(F.col("_toks"), shingle_words)).alias("sh"),
     ).select(
+        # md5 bound once per shingle; the two 32-bit words parse from
+        # the bound attribute instead of re-hashing per substring
         F.col(id_col),
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
+        F.md5(F.col("sh")).alias("_h"),
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.col("_h"), 9, 8), 16, 10).cast("long").alias("h2"),
     )
     aggs = [
         F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(_MH_MOD)).alias(f"mh_{i}")
@@ -273,14 +277,20 @@ def minhash_signatures(
 
 
 def _band_hash(sig: Column, band: int, band_size: int) -> Column:
-    return F.md5(
-        F.concat_ws(
-            "|",
-            *[
-                F.element_at(sig, band * band_size + j + 1).cast("string")
-                for j in range(band_size)
-            ],
-        )
+    """One int64 per band: xxhash64 over (band index, band slots).
+
+    Bucket membership is SLOT EQUALITY either way — two docs share a
+    band bucket iff their ``band_size`` signature slots are equal — so
+    this produces the same candidate pairs as the former
+    ``md5(concat_ws(slots))`` string key (absent int64 collisions,
+    ~n²/2^64, the repo's documented hashing approximation), while the
+    LSH self-join, bucket-cap groupBy and pair distinct all shuffle
+    one long instead of a 32-char string, and signature banding skips
+    32 string concats + cryptographic hashes per doc. The band index
+    folds into the hash, so the join key is a single column."""
+    return F.xxhash64(
+        F.lit(band),
+        *[F.element_at(sig, band * band_size + j + 1) for j in range(band_size)],
     )
 
 
@@ -340,21 +350,15 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.explode(
             F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        _band_hash(F.col("sig"), b, band_size).alias("band_hash"),
-                    )
-                    for b in range(n_bands)
-                ]
+                *[_band_hash(F.col("sig"), b, band_size) for b in range(n_bands)]
             )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_hash")
-    capped = _drop_over_cap_keys(bands, ["band_idx", "band_hash"], bucket_cap)
-    a = capped.select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
-    b = capped.select(F.col(id_col).alias("doc_b"), "band_idx", "band_hash")
+        ).alias("band_hash"),
+    )
+    capped = _drop_over_cap_keys(bands, ["band_hash"], bucket_cap)
+    a = capped.select(F.col(id_col).alias("doc_a"), "band_hash")
+    b = capped.select(F.col(id_col).alias("doc_b"), "band_hash")
     pairs = (
-        a.join(b, ["band_idx", "band_hash"])
+        a.join(b, ["band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
