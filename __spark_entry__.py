@@ -211,9 +211,27 @@ def _q_lm_perplexity(spark, sf):
     Brants et al. stupid-backoff trigram scoring, both trained on the
     documents corpus — same per-doc grain, one registry entry."""
     docs = _t(spark, sf, "documents")
-    model = lm.train_bigram_lm(docs)
-    out = lm.score_perplexity(docs, model)
-    sbo = lm.score_stupid_backoff(docs, lm.train_backoff_lm(docs))
+    # ONE tokenizer pass for the whole query: the persisted (id, _toks)
+    # frame feeds both trainings (4 count-table actions read the cache
+    # instead of re-tokenizing per action) and both scoring plans; it
+    # is unpersisted once training has materialized its checkpointed
+    # count tables — the lazy scoring side then re-derives tokens at
+    # execution (cheap) rather than pinning executor storage across
+    # calls. Pre-r6 this query tokenized the corpus 7x.
+    toks = dedup.with_tokens(docs).persist()
+    # prime the cache with one cheap action, then train both models
+    # from driver threads so their (independent) count-table jobs
+    # overlap (guide §2.6) instead of serializing ~6 job latencies
+    toks.count()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f_bi = pool.submit(lm.train_bigram_lm, docs, tokens=toks)
+        f_bo = pool.submit(lm.train_backoff_lm, docs, tokens=toks)
+        model, backoff = f_bi.result(), f_bo.result()
+    out = lm.score_perplexity(docs, model, tokens=toks)
+    sbo = lm.score_stupid_backoff(docs, backoff, tokens=toks)
+    toks.unpersist()
     return out.join(sbo, "doc_id").select(
         "doc_id",
         "n_bigrams",

@@ -59,6 +59,45 @@ def bigrams_col(text_col: str = "text"):
     )
 
 
+def bigram_pairs_from_tokens(toks):
+    """Adjacent-token (w1, w2) STRUCTS over a bound token-array column
+    — the same pairs :func:`bigrams_col` encodes as 'w1 w2' strings
+    (tokens are \\w runs, so the space join is bijective), minus the
+    concat-then-substring_index round trip per bigram."""
+    n = F.size(toks)
+    return F.when(
+        n < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+
+
+def trigrams_from_tokens(toks):
+    """Adjacent-token (w1, w2, w3) structs over a bound token-array
+    column — :func:`trigrams_col` minus the per-reference re-tokenize."""
+    n = F.size(toks) - 2
+    pairs = F.zip_with(
+        F.slice(toks, 1, n),
+        F.slice(toks, 2, n),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return F.when(F.size(toks) < 3, F.array().cast(
+        "array<struct<w1:string,w2:string,w3:string>>"
+    )).otherwise(
+        F.zip_with(
+            pairs,
+            F.slice(toks, 3, n),
+            lambda p, c: F.struct(
+                p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+            ),
+        )
+    )
+
+
 @dataclass
 class BigramLM:
     """Count tables of a fitted bigram model (both vocabulary-sized).
@@ -74,22 +113,36 @@ class BigramLM:
 
 
 def train_bigram_lm(
-    corpus: DataFrame, text_col: str = "text", max_vocab: int | None = None
+    corpus: DataFrame,
+    text_col: str = "text",
+    max_vocab: int | None = None,
+    tokens: DataFrame | None = None,
 ) -> BigramLM:
     """One groupBy over the exploded corpus bigrams; everything
-    downstream operates on the vocabulary-sized count table."""
+    downstream operates on the vocabulary-sized count table.
+
+    ``tokens``: optional pre-tokenized frame carrying a ``_toks``
+    array column (``dedup.with_tokens``) — pass a PERSISTED one when
+    several train/score calls share a corpus, so the regexp tokenizer
+    runs once for the whole query instead of once per call. Bigrams
+    group as (w1, w2) structs; counts are identical to the former
+    'w1 w2' string grouping (the space join was bijective)."""
+    src = (
+        tokens.select(F.col("_toks").alias("_toks"))
+        if tokens is not None
+        else corpus.select(tokens_col(text_col).alias("_toks"))
+    )
     bg = (
-        corpus.select(F.explode(bigrams_col(text_col)).alias("bg"))
-        .groupBy("bg")
+        src.select(F.explode(bigram_pairs_from_tokens(F.col("_toks"))).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
         .agg(F.count("*").cast("long").alias("c"))
     )
     if max_vocab is not None:
-        bg = bg.orderBy(F.col("c").desc(), F.col("bg").asc()).limit(max_vocab)
-    split = bg.select(
-        F.substring_index("bg", " ", 1).alias("w1"),
-        F.substring_index("bg", " ", -1).alias("w2"),
-        "c",
-    )
+        bg = bg.orderBy(
+            F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc()
+        ).limit(max_vocab)
+    split = bg.select("w1", "w2", "c")
     # cache: vocab_size + context totals + the scoring join all read it
     split = split.localCheckpoint(eager=True)
     ctx = split.groupBy("w1").agg(F.sum("c").cast("long").alias("c1"))
@@ -107,6 +160,7 @@ def score_perplexity(
     lm: BigramLM,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc mean negative log-likelihood and perplexity under
     ``lm``: (id, n_bigrams, avg_neg_logp, perplexity). Docs with <2
@@ -121,15 +175,18 @@ def score_perplexity(
     first.
 
     Both count tables are vocabulary-sized → broadcast joins; the only
-    shuffle over the corpus is the final doc-id aggregation."""
+    shuffle over the corpus is the final doc-id aggregation.
+    ``tokens``: optional pre-tokenized (id, _toks) frame."""
     v = float(lm.vocab_size)
-    doc_bg = docs.select(
-        F.col(id_col), F.explode(bigrams_col(text_col)).alias("bg")
-    ).select(
-        id_col,
-        F.substring_index("bg", " ", 1).alias("w1"),
-        F.substring_index("bg", " ", -1).alias("w2"),
+    src = (
+        tokens
+        if tokens is not None
+        else docs.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
     )
+    doc_bg = src.select(
+        F.col(id_col),
+        F.explode(bigram_pairs_from_tokens(F.col("_toks"))).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
     joined = (
         doc_bg.join(F.broadcast(lm.bigram_counts), ["w1", "w2"], "left")
         .join(F.broadcast(lm.context_counts), ["w1"], "left")
@@ -198,34 +255,47 @@ class BackoffLM:
 
 
 def train_backoff_lm(
-    corpus: DataFrame, text_col: str = "text", max_vocab: int | None = None
+    corpus: DataFrame,
+    text_col: str = "text",
+    max_vocab: int | None = None,
+    tokens: DataFrame | None = None,
 ) -> BackoffLM:
     """One groupBy per order over the exploded corpus; ``max_vocab``
     caps each table at the top-V rows by count (count desc / key asc —
     deterministic). At CCNet/web scale the capped tables are the
     MB-sized broadcast state; training is three shuffles over the
-    exploded corpus."""
-    toks = corpus.select(F.explode(tokens_col(text_col)).alias("w"))
-    uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("c1"))
-    n_tokens = int(
-        uni.agg(F.coalesce(F.sum("c1"), F.lit(0))).first()[0]
+    exploded corpus.
+
+    ``tokens``: optional pre-tokenized ``_toks`` frame (pass a
+    persisted one to share a single tokenizer pass across the three
+    count tables — and with the sibling bigram-LM/scoring calls).
+    N is summed from the CHECKPOINTED unigram table when no cap is
+    set (the uncapped table is the full count table), saving the
+    extra corpus pass the pre-r6 shape spent on it."""
+    src = (
+        tokens.select(F.col("_toks").alias("_toks"))
+        if tokens is not None
+        else corpus.select(tokens_col(text_col).alias("_toks"))
+    )
+    uni = (
+        src.select(F.explode(F.col("_toks")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c1"))
     )
     bg = (
-        corpus.select(F.explode(bigrams_col(text_col)).alias("bg"))
-        .select(
-            F.substring_index("bg", " ", 1).alias("w1"),
-            F.substring_index("bg", " ", -1).alias("w2"),
-        )
+        src.select(F.explode(bigram_pairs_from_tokens(F.col("_toks"))).alias("bg"))
+        .select("bg.w1", "bg.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").cast("long").alias("c2"))
     )
     tg = (
-        corpus.select(F.explode(trigrams_col(text_col)).alias("t"))
+        src.select(F.explode(trigrams_from_tokens(F.col("_toks"))).alias("t"))
         .select("t.w1", "t.w2", "t.w3")
         .groupBy("w1", "w2", "w3")
         .agg(F.count("*").cast("long").alias("c3"))
     )
     if max_vocab is not None:
+        n_tokens = int(uni.agg(F.coalesce(F.sum("c1"), F.lit(0))).first()[0])
         uni = uni.orderBy(F.col("c1").desc(), F.col("w").asc()).limit(max_vocab)
         bg = bg.orderBy(
             F.col("c2").desc(), F.col("w1").asc(), F.col("w2").asc()
@@ -233,10 +303,30 @@ def train_backoff_lm(
         tg = tg.orderBy(
             F.col("c3").desc(), F.col("w1").asc(), F.col("w2").asc(), F.col("w3").asc()
         ).limit(max_vocab)
+        uni_ck = uni.localCheckpoint(eager=True)
+        tg_ck, bg_ck = (
+            tg.localCheckpoint(eager=True),
+            bg.localCheckpoint(eager=True),
+        )
+    else:
+        # the three count-table materializations are independent
+        # actions over the same (persisted) token source — submit them
+        # from driver threads so their stages overlap instead of
+        # paying three serialized job latencies (guide §2.6: actions
+        # are only sequential because the driver calls them
+        # sequentially)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(3) as pool:
+            f_uni = pool.submit(lambda: uni.localCheckpoint(eager=True))
+            f_tg = pool.submit(lambda: tg.localCheckpoint(eager=True))
+            f_bg = pool.submit(lambda: bg.localCheckpoint(eager=True))
+            uni_ck, tg_ck, bg_ck = f_uni.result(), f_tg.result(), f_bg.result()
+        n_tokens = int(uni_ck.agg(F.coalesce(F.sum("c1"), F.lit(0))).first()[0])
     return BackoffLM(
-        trigram_counts=tg.localCheckpoint(eager=True),
-        bigram_counts=bg.localCheckpoint(eager=True),
-        unigram_counts=uni.localCheckpoint(eager=True),
+        trigram_counts=tg_ck,
+        bigram_counts=bg_ck,
+        unigram_counts=uni_ck,
         n_tokens=n_tokens,
     )
 
@@ -249,6 +339,7 @@ def score_stupid_backoff(
     lm: BackoffLM,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc mean negative log stupid-backoff score:
 
@@ -262,10 +353,16 @@ def score_stupid_backoff(
     trigrams, NULL score. All four count lookups are broadcast joins
     (the capped tables are the model); the only corpus shuffle is the
     final per-doc mean. Same unique-id contract as
-    :func:`score_perplexity`."""
+    :func:`score_perplexity`. ``tokens``: optional pre-tokenized
+    (id, _toks) frame."""
     n = float(max(lm.n_tokens, 1))
-    doc_tg = docs.select(
-        F.col(id_col), F.explode(trigrams_col(text_col)).alias("t")
+    src = (
+        tokens
+        if tokens is not None
+        else docs.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    )
+    doc_tg = src.select(
+        F.col(id_col), F.explode(trigrams_from_tokens(F.col("_toks"))).alias("t")
     ).select(id_col, "t.w1", "t.w2", "t.w3")
     tg = lm.trigram_counts
     bg_pre = lm.bigram_counts.select(

