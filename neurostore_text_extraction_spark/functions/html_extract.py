@@ -281,10 +281,15 @@ def _collect_blocks(root: _Node, block_tags=_BLOCK_TAGS, heading_tags=_HEADING_T
     anc_at_open: list[tuple] = []
 
     def flush(tag: str, ancestors: tuple):
+        # ~2/3 of flushes fire on empty accumulations (adjacent block
+        # boundaries); any link text is also inline text, so empty
+        # `parts` implies empty `link_parts` — skip the join+split
+        if not parts:
+            return
         words = "".join(parts).split()
         raw = " ".join(words)
         if raw:
-            link_len = len(_collapse_ws("".join(link_parts)))
+            link_len = len(_collapse_ws("".join(link_parts))) if link_parts else 0
             heading = tag in heading_tags
             blocks.append(_Block(raw, link_len, tag, ancestors, heading, words))
         parts.clear()
@@ -337,18 +342,25 @@ _DENSITY_SAMPLE = 64  # density estimate over a prefix; full scans of
 _WORD_PUNCT = ".,;:!?()[]\"'"
 
 
+_WORD_PUNCT_SET = frozenset(_WORD_PUNCT)
+
+
 def _stopword_density(words: list[str], stopwords: frozenset) -> float:
     if not words:
         return 0.0
     sample = words[:_DENSITY_SAMPLE]
     hits = 0
-    for w in sample:
+    for wl in map(str.lower, sample):
         # fast path first: most words carry no punctuation, and the
         # per-word strip() was the profiled hot spot of whole-document
-        # extraction (~20% of extract_document)
-        wl = w.lower()
-        if wl in stopwords or wl.strip(_WORD_PUNCT) in stopwords:
+        # extraction (~20% of extract_document). Most words are NOT
+        # stopwords either, so strip() only runs when a boundary char
+        # is actually strippable (two set probes beat a no-op strip).
+        if wl in stopwords:
             hits += 1
+        elif wl[0] in _WORD_PUNCT_SET or wl[-1] in _WORD_PUNCT_SET:
+            if wl.strip(_WORD_PUNCT) in stopwords:
+                hits += 1
     return hits / len(sample)
 
 
@@ -419,7 +431,14 @@ def _classify_boilerplate(b: _Block, stopwords: frozenset) -> bool:
         return True
     ld = b.link_chars / n
     nw = len(b.words)
-    hint = min((_hint_score(a) for a in b.ancestors[-3:]), default=0)
+    # inline min loop: the genexpr version showed up in the profile
+    # (one generator frame per block per classify call). Clamped at 0
+    # — only the `hint < 0` sign test below consumes it
+    hint = 0
+    for a in b.ancestors[-3:]:
+        s = _hint_score(a)
+        if s < hint:
+            hint = s
     if hint < 0 and not b.heading:
         # negative ancestor hint needs strong evidence to survive
         if ld > 0.0 or nw < 15:

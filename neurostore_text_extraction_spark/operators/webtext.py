@@ -601,14 +601,23 @@ def contamination_check(
     broadcast — the corpus scan stays shuffle-free; the per-doc
     aggregation is a groupBy on the doc id (count + conditional count,
     map-side combinable)."""
-    from .dedup import shingles_col
+    from .dedup import shingles_from_tokens, with_tokens
+    from .tfidf import tokens_col
 
-    doc_sh = df.select(
-        F.col(id_col), F.explode(shingles_col(text_col, shingle_words)).alias("sh")
-    ).distinct()
+    # token arrays bound once per side (the inline shingles_col form
+    # re-ran the regexp tokenizer k+1 times per row — r6)
+    doc_sh = (
+        with_tokens(df, id_col, text_col)
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("_toks"), shingle_words)).alias("sh"),
+        )
+        .distinct()
+    )
     bench_sh = (
-        benchmark.select(
-            F.explode(shingles_col(bench_text_col, shingle_words)).alias("sh")
+        benchmark.select(tokens_col(bench_text_col).alias("_toks"))
+        .select(
+            F.explode(shingles_from_tokens(F.col("_toks"), shingle_words)).alias("sh")
         )
         .distinct()
         .withColumn("_hit", F.lit(1))
