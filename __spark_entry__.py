@@ -288,7 +288,9 @@ def _q_dedup_clusters(spark, sf):
     pairs = dedup.minhash_lsh_pairs(
         _docs_with_neardups(spark, sf), with_jaccard=False
     )
-    return dedup.connected_components_star(pairs)
+    # the candidate pairs are already distinct with doc_a < doc_b —
+    # skip the components' defensive input dedup shuffle
+    return dedup.connected_components_star(pairs, assume_distinct=True)
 
 
 def _q_simhash(spark, sf):

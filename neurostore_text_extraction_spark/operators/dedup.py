@@ -465,6 +465,7 @@ def connected_components_star(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(doc_id, cluster_id) by alternating large-star / small-star
     rounds (Kiveris et al., "Connected Components in MapReduce and
@@ -486,13 +487,16 @@ def connected_components_star(
 
     Termination = edge-set fixpoint, detected by a commutative
     count+xor digest (one aggregate per round, no edge⨝edge compare).
-    At the fixpoint the edges form stars (member → component min)."""
-    edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    At the fixpoint the edges form stars (member → component min).
+
+    ``assume_distinct=True`` skips the defensive input dedup shuffle —
+    pass it when the pair frame is already distinct with a < b (the
+    LSH candidate generators end in exactly that), saving one full
+    shuffle of the edge set before the first round."""
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    if not assume_distinct:
+        edges = edges.where(F.col("u") != F.col("v")).distinct()
+    edges = edges.localCheckpoint(eager=True)
     prev = _edge_digest(edges)
     for _ in range(max_iter):
         # --- large-star ---------------------------------------------
@@ -551,12 +555,33 @@ def simhash(
     n_bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Per-doc SimHash over token md5s: bit b of the signature is 1 iff
-    sum over tokens of (2*bit_b(md5(token)) - 1) > 0."""
+    sum over tokens of (2*bit_b(md5(token)) - 1) > 0.
+
+    The first ``n_bits/4`` hex chars parse to ONE bound integer per
+    token and each bit extracts with a shift+mask — the former
+    per-bit ``conv(substring(h, b//4+1, 1))`` form re-parsed the hash
+    string n_bits times per token. Hex char p (1-based, leftmost =
+    most significant) holds bits ``4*(n_nibbles-p) .. +3`` of the
+    parsed value, and :func:`_bit_of_md5` tests bit ``b%4`` of char
+    ``b//4+1``, so bit b of the signature is bit ``4*(n_nibbles-1 -
+    b//4) + b%4`` of the parsed value — identical integers, exact."""
+    n_nibbles = (n_bits + 3) // 4
     toks = df.select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
-    ).select(F.col(id_col), F.md5(F.col("tok")).alias("h"))
+    ).select(F.col(id_col), F.md5(F.col("tok")).alias("h")).select(
+        F.col(id_col),
+        F.conv(F.substring(F.col("h"), 1, n_nibbles), 16, 10)
+        .cast("long")
+        .alias("_v"),
+    )
     bit_sums = [
-        F.sum(_bit_of_md5(F.col("h"), b) * 2 - 1).alias(f"s_{b}") for b in range(n_bits)
+        F.sum(
+            F.shiftright(F.col("_v"), 4 * (n_nibbles - 1 - b // 4) + b % 4)
+            .bitwiseAND(F.lit(1))
+            * 2
+            - 1
+        ).alias(f"s_{b}")
+        for b in range(n_bits)
     ]
     sums = toks.groupBy(id_col).agg(*bit_sums)
     sig = sum(

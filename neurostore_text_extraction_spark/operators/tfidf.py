@@ -69,7 +69,18 @@ def tfidf(
         .groupBy(id_col, "term")
         .agg(F.count("*").cast("double").alias("tf"))
     )
-    dfreq = document_frequency(df, id_col, text_col, min_df)
+    # document frequency DERIVED from the tf table (exactly one row per
+    # (doc, term), so counting rows per term == counting distinct docs
+    # per term): one tokenize+explode pass and one exchange for the
+    # whole query instead of a second full corpus pass through
+    # explode+distinct (r6; document_frequency stays the standalone
+    # API). The shared groupBy(id, term) exchange is deduped by
+    # ReuseExchange across the tf/df consumers at runtime.
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
     if vocabulary is not None:
         vocab_df = tf.sparkSession.createDataFrame(
             [(v,) for v in vocabulary], "term string"
