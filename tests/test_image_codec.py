@@ -262,6 +262,32 @@ def test_perceptual_hash_pairs_planted_neardups(spark):
     assert not any("far" in p or "bad" in p for p in pairs)
 
 
+def test_perceptual_hash_pairs_precomputed_sig_matches_decode_path(spark):
+    """r6 optimization contract: a pipeline that already materialized
+    image_stats can hand the signature frame to perceptual_hash_pairs
+    (sig=) and get byte-identical pairs without re-decoding any blob
+    (decode dominates the operator; VERDICT r5 flagged the 2x)."""
+    base = _img(32, 32, 3)
+    bright = np.clip(base.astype(int) + 10, 0, 255).astype(np.uint8)
+    items = [
+        ("a", encode_png(base)),
+        ("a_bright", encode_png(bright)),
+        ("far", encode_png(RNG.randint(0, 256, (32, 32, 3), dtype=np.uint8))),
+        ("bad", b"\xff\xd8\xffx"),
+    ]
+    blobs = _blob_frame(spark, items)
+    via_decode = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in MM.perceptual_hash_pairs(blobs, max_hamming=3).collect()
+    )
+    stats = MM.image_stats(blobs)  # the pipeline's own stats pass
+    via_sig = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in MM.perceptual_hash_pairs(None, sig=stats, max_hamming=3).collect()
+    )
+    assert via_sig == via_decode and via_sig
+
+
 def _hamming64(a, b):
     return bin((a ^ b) & (2**64 - 1)).count("1")
 
