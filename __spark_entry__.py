@@ -168,9 +168,23 @@ def _q_word_stats(spark, sf):
     merging same-grain queries keeps every operator oracled while
     freeing slots for the round-3 corpus operators)."""
     docs = _t(spark, sf, "documents")
+    # fused (r6): word_deviance derives from the same per-doc
+    # word_count — compute the count once, broadcast the 1-row mean
+    # back, and emit both columns from one projection instead of
+    # joining two corpus-sized frames on doc_id
+    wc = wordstats.word_count(docs)
+    mean = wc.agg(
+        F.floor(F.sum("word_count") / F.count("*")).cast("long").alias("_mean_wc")
+    )
     return (
-        wordstats.word_count(docs)
-        .join(wordstats.word_deviance(docs), "doc_id")
+        wc.crossJoin(F.broadcast(mean))
+        .select(
+            "doc_id",
+            "word_count",
+            F.abs(F.col("word_count") - F.col("_mean_wc"))
+            .cast("long")
+            .alias("word_deviance"),
+        )
         .orderBy("doc_id")
     )
 
@@ -372,12 +386,32 @@ def _q_token_fingerprints(spark, sf):
     joined into one registry entry (same slot-budget rationale as
     word_stats; fingerprints' n_tokens is renamed to avoid colliding
     with future joins)."""
+    # fused (r6): both operators are per-doc projections over the same
+    # source — one staged pipeline (text+tokens bound once, md5'd
+    # shingle array bound once) instead of two corpus scans glued by a
+    # doc_id join
     docs = _t(spark, sf, "documents")
-    return textquality.token_counts(docs).join(
-        textquality.fingerprints(docs).withColumnRenamed(
-            "n_tokens", "n_sk_tokens"
-        ),
+    pre = docs.select(
         "doc_id",
+        F.trim(F.coalesce(F.col("text"), F.lit(""))).alias("_t"),
+        tfidf_ops.tokens_col("text").alias("_toks"),
+    )
+    tc = textquality.token_count_cols(F.col("_t"))
+    mid = pre.select(
+        "doc_id",
+        *(c.alias(n) for n, c in tc.items()),
+        F.transform(
+            dedup.shingles_from_tokens(F.col("_toks"), 4), F.md5
+        ).alias("_h"),
+        F.size(F.col("_toks")).cast("long").alias("n_sk_tokens"),
+    )
+    return mid.select(
+        "doc_id",
+        "ws_tokens",
+        "bpe_tokens_est",
+        F.array_min(F.col("_h")).alias("fp_min"),
+        F.array_max(F.col("_h")).alias("fp_max"),
+        "n_sk_tokens",
     )
 
 

@@ -354,22 +354,30 @@ def c4_gopher_filters(
     return mid.select(F.col(id_col), *(c.alias(n) for n, c in out.items()))
 
 
-def token_counts(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Whitespace tokens + BPE-ish subword estimate (word chars in
-    chunks of <=4 plus standalone non-space symbols)."""
-    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+def token_count_cols(t: Column) -> dict[str, Column]:
+    """:func:`token_counts`' output columns over a bound trimmed-text
+    column (reused by the fused bench query)."""
     ws_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, r"\s+"))
     )
     word_chars = F.length(F.regexp_replace(t, r"[^0-9A-Za-z]", ""))
     symbols = F.length(F.regexp_replace(t, r"[0-9A-Za-z\s]", ""))
     bpe_est = F.ceil(word_chars / F.lit(4.0)) + symbols
+    return {
+        "ws_tokens": ws_tokens.cast("long"),
+        "bpe_tokens_est": bpe_est.cast("long"),
+    }
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate (word chars in
+    chunks of <=4 plus standalone non-space symbols)."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    cols = token_count_cols(t)
     return df.select(
-        F.col(id_col),
-        ws_tokens.cast("long").alias("ws_tokens"),
-        bpe_est.cast("long").alias("bpe_tokens_est"),
+        F.col(id_col), *(c.alias(n) for n, c in cols.items())
     )
 
 
