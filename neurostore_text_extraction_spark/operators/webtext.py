@@ -350,18 +350,89 @@ def repetition_signal_cols(text_col: str = "text") -> "dict[str, Column]":
     }
 
 
+def repetition_prebind_cols(text_col: str = "text") -> "dict[str, Column]":
+    """Stage-1 bindings for the staged repetition path: the non-blank
+    line array and the lowercased >=2-char word array, each split once
+    per row (the single-projection signal dict re-split the text at
+    every reference)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.expr(f"regexp_extract_all(lower({text_col}), r'\\w\\w+', 0)")
+    return {
+        "_lines": F.filter(F.split(t, "\n"), lambda l: F.trim(l) != ""),
+        "_words": F.when(
+            F.col(text_col).isNull(), F.array().cast("array<string>")
+        ).otherwise(words),
+    }
+
+
+def repetition_counts(lines: Column, words: Column) -> "dict[str, Column]":
+    """Stage-2 integer signals over the bound arrays — the same
+    aggregate-fold arithmetic as :func:`repetition_signal_cols`."""
+    run_state = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _fold(acc, x):
+        run = F.when(
+            acc["prev"].isNull() | (x != acc["prev"]), F.lit(1).cast("long")
+        ).otherwise(acc["run"] + 1)
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return {
+        "_n_lines": F.size(lines),
+        "_n_distinct_lines": F.size(F.array_distinct(lines)),
+        "_line_chars": F.aggregate(
+            lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+        ),
+        "_n_words": F.size(words),
+        "_top_count": F.aggregate(
+            F.array_sort(words), run_state, _fold, lambda acc: acc["best"]
+        ),
+    }
+
+
+def repetition_out_cols(c: "dict[str, Column]") -> "dict[str, Column]":
+    """Unrounded output signals from the (bound) stage-2 counts —
+    identical arithmetic to :func:`repetition_signal_cols`."""
+    n_lines, n_words = c["_n_lines"], c["_n_words"]
+    return {
+        "dup_line_frac": F.when(
+            n_lines > 0,
+            (n_lines - c["_n_distinct_lines"]) / n_lines.cast("double"),
+        ).otherwise(0.0),
+        "top_word_frac": F.when(
+            n_words > 0, c["_top_count"] / n_words.cast("double")
+        ).otherwise(0.0),
+        "mean_line_len": F.when(
+            n_lines > 0, c["_line_chars"] / n_lines.cast("double")
+        ).otherwise(0.0),
+        "n_lines": n_lines,
+    }
+
+
 def repetition_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-doc rounded repetition-signal frame (see
-    :func:`repetition_signal_cols`)."""
-    sig = repetition_signal_cols(text_col)
-    return df.select(
+    :func:`repetition_signal_cols`). Staged projections (arrays →
+    counts → ratios) so each split/fold evaluates once per row."""
+    pre_cols = repetition_prebind_cols(text_col)
+    pre = df.select(F.col(id_col), *(c.alias(n) for n, c in pre_cols.items()))
+    counts = repetition_counts(F.col("_lines"), F.col("_words"))
+    mid = pre.select(F.col(id_col), *(c.alias(n) for n, c in counts.items()))
+    out = repetition_out_cols({n: F.col(n) for n in counts})
+    return mid.select(
         F.col(id_col),
-        F.round(sig["dup_line_frac"], 4).alias("dup_line_frac"),
-        F.round(sig["top_word_frac"], 4).alias("top_word_frac"),
-        F.round(sig["mean_line_len"], 4).alias("mean_line_len"),
-        sig["n_lines"].cast("int").alias("n_lines"),
+        F.round(out["dup_line_frac"], 4).alias("dup_line_frac"),
+        F.round(out["top_word_frac"], 4).alias("top_word_frac"),
+        F.round(out["mean_line_len"], 4).alias("mean_line_len"),
+        out["n_lines"].cast("int").alias("n_lines"),
     )
 
 

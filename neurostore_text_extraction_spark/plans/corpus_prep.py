@@ -50,8 +50,14 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators import dedup
-from ..operators.textquality import c4_gopher_signal_cols
-from ..operators.webtext import line_dedup, pii_scrub, repetition_signal_cols
+from ..operators.textquality import c4_counts, c4_out_cols, c4_prebind_cols
+from ..operators.webtext import (
+    line_dedup,
+    pii_scrub,
+    repetition_counts,
+    repetition_out_cols,
+    repetition_prebind_cols,
+)
 
 
 @dataclass
@@ -105,23 +111,41 @@ def prepare_training_corpus(
     # --- stage group 1: the narrow filter signals over the full
     # corpus, appended IN PLACE (a same-cardinality signals frame
     # joined back on the id would shuffle the whole corpus twice for
-    # columns that are pure functions of the text) ---
-    sig = c4_gopher_signal_cols(text_col)
+    # columns that are pure functions of the text). Staged projections
+    # (r6): the split arrays and integer counts bind as attributes, so
+    # each split/fold/regexp evaluates once per row — the former
+    # single-projection signal dicts re-split the text at every
+    # reference (keep flag, each feature column, each reason test) ---
+    c4_pre = c4_prebind_cols(F.coalesce(F.col(text_col), F.lit("")))
+    pre_cols = {"_t": c4_pre["_t"], "_words": c4_pre["_words"], "_lines": c4_pre["_lines"]}
+    if gopher_repetition:
+        # the repetition signals reuse the non-blank line array (same
+        # expression); only the regexp word array is theirs
+        pre_cols["_rwords"] = repetition_prebind_cols(text_col)["_words"]
+    pre = base.withColumns(pre_cols)
+    count_cols = dict(c4_counts(F.col("_t"), F.col("_words"), F.col("_lines")))
+    if gopher_repetition:
+        rep_raw = repetition_counts(F.col("_lines"), F.col("_rwords"))
+        # prefix-rename: the c4 and repetition count dicts both emit
+        # _n_lines/_n_words (identical values for lines, DIFFERENT
+        # word definitions — whitespace vs regexp)
+        count_cols.update({"_r" + n: c for n, c in rep_raw.items()})
+    mid = pre.withColumns(count_cols).drop(*pre_cols)
+    bound = {n: F.col(n) for n in count_cols}
+    sig = c4_out_cols(bound)
     reason = (
         F.when(F.col(text_col).isNull(), F.lit("null_text"))
         .when(F.lit(require_c4) & ~F.col("keep_c4"), F.lit("c4_filter"))
         .when(F.lit(require_gopher) & ~F.col("keep_gopher"), F.lit("gopher_filter"))
     )
     if gopher_repetition:
-        # Gopher §A1.1's repetition rules as a drop reason: still a
-        # pure column expression over the text (same no-join pattern)
-        rep = repetition_signal_cols(text_col)
+        rep = repetition_out_cols({n: F.col("_r" + n) for n in rep_raw})
         reason = reason.when(
             (rep["dup_line_frac"] > max_dup_line_frac)
             | (rep["top_word_frac"] > max_top_word_frac),
             F.lit("gopher_repetition"),
         )
-    filtered = base.withColumns(
+    filtered = mid.withColumns(
         {"keep_c4": sig["keep_c4"], "keep_gopher": sig["keep_gopher"]}
     )
     if quality_model is not None:
@@ -139,7 +163,7 @@ def prepare_training_corpus(
         reason = reason.when(
             F.col("quality_clf_score") < min_clf_score, F.lit("quality_clf")
         )
-    filtered = filtered.withColumn("drop_reason", reason)
+    filtered = filtered.withColumn("drop_reason", reason).drop(*count_cols)
     if eager:
         # consumed by both dedup operators and the final tagging;
         # corpus-sized -> recoverable materialization (module contract)
