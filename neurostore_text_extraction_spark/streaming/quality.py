@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..operators.textquality import c4_gopher_signal_cols
+from ..operators.textquality import c4_counts, c4_out_cols, c4_prebind_cols
 
 
 def quality_filter(
@@ -27,8 +27,21 @@ def quality_filter(
     is any object with ``score_col(prefix)`` (see
     ``operators/quality_classifier``) — its coefficients are literals,
     so scoring streams without a stream-static join."""
-    sig = c4_gopher_signal_cols(text_col)
-    out = df.withColumns(
+    # staged projections (r6, mirroring plans/corpus_prep): arrays and
+    # counts bind as attributes so each split/fold evaluates once per
+    # row — the single-projection signal dict re-split the text at
+    # every keep-flag/feature reference. Stateless either way: still
+    # stream-safe, no watermark, no Python.
+    pre_raw = c4_prebind_cols(F.coalesce(F.col(text_col), F.lit("")))
+    pre_cols = {"_qp" + n: c for n, c in pre_raw.items()}
+    pre = df.withColumns(pre_cols)
+    count_raw = c4_counts(
+        F.col("_qp_t"), F.col("_qp_words"), F.col("_qp_lines")
+    )
+    count_cols = {"_qp" + n: c for n, c in count_raw.items()}
+    out = pre.withColumns(count_cols).drop(*pre_cols)
+    sig = c4_out_cols({n: F.col("_qp" + n) for n in count_raw})
+    out = out.withColumns(
         {"_keep_c4": sig["keep_c4"], "_keep_gopher": sig["keep_gopher"]}
     )
     cond: Column = F.col(text_col).isNotNull()
@@ -46,4 +59,4 @@ def quality_filter(
         )
         cond = cond & (F.col("quality_clf_score") >= min_clf_score)
         out = out.drop(*["_qf_" + c for c in FEATURE_COLS])
-    return out.where(cond).drop("_keep_c4", "_keep_gopher")
+    return out.where(cond).drop("_keep_c4", "_keep_gopher", *count_cols)
