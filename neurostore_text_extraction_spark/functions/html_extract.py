@@ -188,10 +188,34 @@ class _Node:
         return ((self.attrs.get("class") or "") + " " + (self.attrs.get("id") or "")).lower()
 
 
+# fast-path tokens for the single-shot feed loop: attr-less tags whose
+# names use the common charset. Anything else (attributes, whitespace,
+# self-closing, odd name chars, comments, declarations, PIs) falls
+# through to the INHERITED html.parser parse_* methods, so tokenization
+# semantics stay exactly the stdlib's.
+_SIMPLE_START_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9.\-_:]*)>")
+_SIMPLE_END_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9.\-_:]*)\s*>")
+
+
 class _DomBuilder(HTMLParser):
     """Tolerant DOM builder: mismatched end tags are skipped, unclosed
     tags are implicitly closed. Entities are decoded by html.parser
-    (convert_charrefs=True, deterministic)."""
+    (convert_charrefs=True, deterministic).
+
+    ``feed_document`` (r6) is a single-shot replacement for
+    ``feed``+``close``: the whole document is in hand, so the
+    incremental-feed machinery the stdlib ``goahead`` loop pays for —
+    line/column ``updatepos`` bookkeeping on every token, the
+    partial-entity boundary checks, per-token ``startswith`` chains —
+    is skipped, and attr-less tags (the majority) dispatch via one
+    regex match instead of ``parse_starttag``'s tolerant scanner.
+    Everything non-trivial still goes through the inherited stdlib
+    ``parse_starttag/parse_endtag/parse_comment/parse_pi/
+    parse_html_declaration``, so edge-case tokenization (malformed
+    tags, comments, CDATA script/style content, charrefs) is
+    byte-identical to ``feed`` — asserted by an equivalence sweep over
+    the fixtures, the bench corpus and adversarial fragments
+    (tests/test_html_extract.py)."""
 
     def __init__(self, drop=_DROP_TAGS, chrome=_CHROME_TAGS, drop_pred=None) -> None:
         super().__init__(convert_charrefs=True)
@@ -250,6 +274,101 @@ class _DomBuilder(HTMLParser):
         if self._drop_stack or not data:
             return
         self.cur.children.append(data)
+
+    def updatepos(self, i, j):
+        # line/column bookkeeping is only consumed by getpos(), which
+        # nothing here calls — skip the per-token line counting. The
+        # return value contract (always j) is preserved, so stdlib
+        # control flow is unchanged.
+        return j
+
+    def feed_document(self, rawdata: str) -> None:
+        """Single-shot parse of a complete document (see class doc).
+        Mirrors ``goahead(end=1)`` semantics for convert_charrefs=True:
+        text segments unescape wholesale, script/style content stays
+        raw (and an unterminated cdata tail is discarded, as stdlib
+        does), incomplete constructs at EOF flush as data."""
+        from html import unescape
+
+        self.rawdata = rawdata
+        i, n = 0, len(rawdata)
+        handle_data = self.handle_data
+        find = rawdata.find
+        while i < n:
+            if self.cdata_elem:
+                match = self.interesting.search(rawdata, i)
+                if not match:  # unterminated <script>/<style>: drop tail
+                    i = n
+                    break
+                j = match.start()
+                if i < j:
+                    handle_data(rawdata[i:j])  # raw: no charref decode
+                i = j
+                k = self.parse_endtag(i)
+                if k < 0:  # incomplete '</script' at EOF → raw flush
+                    handle_data(rawdata[i:n])
+                    i = n
+                    break
+                i = k
+                continue
+            lt = find("<", i)
+            if lt < 0:
+                seg = rawdata[i:n]
+                handle_data(unescape(seg) if "&" in seg else seg)
+                i = n
+                break
+            if lt > i:
+                seg = rawdata[i:lt]
+                handle_data(unescape(seg) if "&" in seg else seg)
+            i = lt
+            m = _SIMPLE_END_RE.match(rawdata, i)
+            if m:
+                self.handle_endtag(m.group(1).lower())
+                i = m.end()
+                continue
+            m = _SIMPLE_START_RE.match(rawdata, i)
+            if m:
+                tag = m.group(1).lower()
+                self.lasttag = tag
+                self.handle_starttag(tag, [])
+                if tag in self.CDATA_CONTENT_ELEMENTS:
+                    self.set_cdata_mode(tag)
+                i = m.end()
+                continue
+            c = rawdata[i + 1] if i + 1 < n else ""
+            if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+                k = self.parse_starttag(i)
+            elif c == "/":
+                k = self.parse_endtag(i)
+            elif rawdata.startswith("<!--", i):
+                k = self.parse_comment(i)
+            elif c == "?":
+                k = self.parse_pi(i)
+            elif c == "!":
+                k = self.parse_html_declaration(i)
+            else:
+                # lone '<' (possibly at EOF): stdlib emits it as data
+                handle_data("<")
+                i += 1
+                continue
+            if k < 0:
+                # incomplete construct at EOF — goahead(end=1) recovery
+                k = find(">", i + 1)
+                if k < 0:
+                    k = find("<", i + 1)
+                    if k < 0:
+                        k = i + 1
+                else:
+                    k += 1
+                seg = rawdata[i:k]
+                if self.cdata_elem:
+                    handle_data(seg)
+                else:
+                    handle_data(unescape(seg) if "&" in seg else seg)
+                i = k
+                continue
+            i = k
+        self.rawdata = ""
 
 
 @dataclass
@@ -587,21 +706,31 @@ def extract_html(
     except UnicodeDecodeError:
         html = data.decode("latin-1")
     if mode == "jats":
-        parser = _DomBuilder(drop=_JATS_DROP, chrome=frozenset())
+        def make_parser():
+            return _DomBuilder(drop=_JATS_DROP, chrome=frozenset())
     elif mode == "fullpage":
         # ACE-parity mode: the upstream ACE tool emits a full-page text
         # dump with NO boilerplate removal (its processed fixtures keep
         # nav, 'Google Scholar' link farms and site footers). Header/
         # footer/aside chrome is kept; only non-text tags drop.
-        parser = _DomBuilder(chrome=frozenset())
+        def make_parser():
+            return _DomBuilder(chrome=frozenset())
     else:
-        parser = _DomBuilder()
+        make_parser = _DomBuilder
+    parser = make_parser()
     try:
-        parser.feed(html)
-        parser.close()
+        parser.feed_document(html)
     except Exception:
-        # html.parser is robust, but guarantee row-level fault isolation
-        pass
+        # fall back to the stdlib incremental path with a FRESH builder
+        # (the fast path may have half-mutated the DOM before raising)
+        parser = make_parser()
+        try:
+            parser.feed(html)
+            parser.close()
+        except Exception:
+            # html.parser is robust, but guarantee row-level fault
+            # isolation
+            pass
     stopwords = _STOPWORDS_BY_LANG.get((lang or "en")[:2], _STOPWORDS_EN)
     if mode == "jats":
         blocks = _collect_blocks(parser.root, _JATS_BLOCK, _JATS_HEADING)

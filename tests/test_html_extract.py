@@ -188,3 +188,56 @@ def test_preferences_class_is_not_a_reference_hint():
     text, _ = extract_html(html, mode="html")
     assert "Saved search" not in text
     assert "Main content paragraph" in text
+
+
+def test_fast_feed_byte_identical_to_stdlib_feed():
+    """r6 optimization guard: `_DomBuilder.feed_document` (single-shot
+    fast loop) must produce byte-identical extraction output to the
+    stdlib incremental `feed`+`close` path on every mode — including
+    malformed markup, charrefs, cdata script content and incomplete
+    constructs at EOF (the fast loop delegates all non-trivial tokens
+    to the inherited stdlib parse_* methods; this pins the contract)."""
+    from neurostore_text_extraction_spark.functions import html_extract as HE
+
+    def via_stdlib(data, mode):
+        orig = HE._DomBuilder.feed_document
+
+        def boom(self, d):
+            raise RuntimeError("force stdlib fallback")
+
+        HE._DomBuilder.feed_document = boom
+        try:
+            return HE.extract_html(data, None, mode)
+        finally:
+            HE._DomBuilder.feed_document = orig
+
+    frags = [
+        b"", b"<", b"<>", b"</>", b"< p>hi</p>", b"<p", b"<p>unclosed",
+        b"<p>a &amp; b &lt;t&gt; &#65; &#x41; &bogus; &am</p>",
+        b"<script>if (a < b && c > d) { x = '<p>'; }</script><p>after</p>",
+        b"<script>never terminated...",
+        b"<style>p { color: red }</style><p>x</p>",
+        b"<!-- comment <p>not a tag</p> --><p>real</p>",
+        b"<!DOCTYPE html><?php echo '<p>'; ?><p>x</p>",
+        b"<p class=\"a&amp;b\" id='z' data-x=unquoted>attrs</p>",
+        b"<br/><br /><img src='x'/>text",
+        b"<P>UPPER</P><DiV>mixed</dIv>",
+        b"<p>a<3 and a<b</p>", b"<p>end with amp &",
+        b"<p>tab\tin\ttag</p><a,b>weird</a,b>",
+        b"<td>cell</td></table>stray",
+        b"\xff\xfe<p>bad utf</p>",
+        b"<p>text</p  ><p>weird end</p>",
+        b"<![CDATA[ <p>cdata-ish</p> ]]><p>y</p>",
+        b"<div><p>a &quot;q&quot;</p><p>b & c</p></div><script>var x=1</script>",
+        (
+            b"<html><body><article><p>Real paragraph with enough words to "
+            b"be scored as organic content by the readability pass.</p>"
+            b"</article><nav><a href='/'>Home</a></nav></body></html>"
+        ),
+    ]
+    for frag in frags:
+        for mode in ("auto", "html", "jats", "fullpage"):
+            assert HE.extract_html(frag, None, mode) == via_stdlib(frag, mode), (
+                frag,
+                mode,
+            )
