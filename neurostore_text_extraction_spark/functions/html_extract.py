@@ -169,7 +169,7 @@ _STOPWORDS_BY_LANG = {
 }
 
 
-@dataclass
+@dataclass(slots=True)
 class _Node:
     tag: str
     attrs: dict
@@ -371,7 +371,7 @@ class _DomBuilder(HTMLParser):
         self.rawdata = ""
 
 
-@dataclass
+@dataclass(slots=True)
 class _Block:
     text: str
     link_chars: int
