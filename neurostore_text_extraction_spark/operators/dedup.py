@@ -508,12 +508,18 @@ def connected_components_star(
             .agg(F.min("v").alias("_mn"))
             .select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
         )
+        # NO distinct here (r6): duplicate large-star edges cannot
+        # change the round's outcome — the small-star min aggregate is
+        # multiplicity-insensitive and the round's final distinct
+        # dedupes the emitted edges — so the intermediate dedup was a
+        # pure extra full shuffle of the edge set every round.
+        # Multiplicity stays bounded by 2|E| (mins is one row per u, so
+        # the join fans nothing out).
         large = (
             nb.where(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # --- small-star (edges now oriented big -> small) ------------
         canon = large.select(
